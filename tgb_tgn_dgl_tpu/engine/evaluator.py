@@ -1,0 +1,82 @@
+"""Metrics: TGB-protocol MRR evaluator plus AP/AUC self-checks.
+
+Replaces the external TGB ``Evaluator`` (reference utils.py:10,47;
+epoch_utils.py:108-113) and sklearn's average_precision/roc_auc
+(epoch_utils.py:5,312-315) with vectorized numpy — identical metric
+definitions so parity checks are apples-to-apples (SURVEY.md §5.5).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def mrr(y_pred_pos: np.ndarray, y_pred_neg: np.ndarray,
+        neg_mask: np.ndarray | None = None) -> np.ndarray:
+    """Per-event reciprocal rank, TGB/OGB tie convention: rank = mean of the
+    optimistic rank (#neg strictly better) and pessimistic rank (#neg at
+    least as good), + 1.  y_pred_pos (B,), y_pred_neg (B, M); optional
+    neg_mask (B, M) for the pad-and-mask negative mode (SURVEY.md §7.5)."""
+    pos = y_pred_pos[:, None]
+    better = y_pred_neg > pos
+    at_least = y_pred_neg >= pos
+    if neg_mask is not None:
+        better = better & neg_mask
+        at_least = at_least & neg_mask
+    opt = better.sum(axis=1)
+    pes = at_least.sum(axis=1)
+    rank = 0.5 * (opt + pes) + 1.0
+    return 1.0 / rank
+
+
+def average_precision(y_true: np.ndarray, y_score: np.ndarray) -> float:
+    """sklearn-equivalent AP (step-wise precision-recall integral)."""
+    order = np.argsort(-y_score, kind="stable")
+    y = y_true[order]
+    tp = np.cumsum(y)
+    fp = np.cumsum(1 - y)
+    precision = tp / np.maximum(tp + fp, 1)
+    n_pos = y.sum()
+    if n_pos == 0:
+        return 0.0
+    # AP = sum over positives of precision at each positive hit / n_pos
+    return float((precision * y).sum() / n_pos)
+
+
+def roc_auc(y_true: np.ndarray, y_score: np.ndarray) -> float:
+    """Rank-based AUC (Mann-Whitney U), ties handled via midranks —
+    matches sklearn.roc_auc_score."""
+    n_pos = int(y_true.sum())
+    n_neg = len(y_true) - n_pos
+    if n_pos == 0 or n_neg == 0:
+        return 0.5
+    order = np.argsort(y_score, kind="stable")
+    ranks = np.empty(len(y_score), dtype=np.float64)
+    sorted_scores = y_score[order]
+    # midranks for ties
+    i = 0
+    r = np.arange(1, len(y_score) + 1, dtype=np.float64)
+    while i < len(y_score):
+        j = i
+        while j + 1 < len(y_score) and sorted_scores[j + 1] == sorted_scores[i]:
+            j += 1
+        r[i:j + 1] = 0.5 * (i + 1 + j + 1)
+        i = j + 1
+    ranks[order] = r
+    sum_pos = ranks[y_true.astype(bool)].sum()
+    return float((sum_pos - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
+
+
+class Evaluator:
+    """TGB-Evaluator-shaped API (reference epoch_utils.py:108-113):
+    eval({'y_pred_pos', 'y_pred_neg', 'eval_metric'}) -> {metric: value}."""
+
+    def __init__(self, name: str = ""):
+        self.name = name
+
+    def eval(self, input_dict):
+        metric = input_dict["eval_metric"][0]
+        pos = np.asarray(input_dict["y_pred_pos"])
+        neg = np.asarray(input_dict["y_pred_neg"])
+        if metric == "mrr":
+            return {"mrr": float(mrr(pos, neg).mean())}
+        raise ValueError(f"unsupported metric {metric}")

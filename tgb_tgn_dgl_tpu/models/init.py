@@ -1,0 +1,73 @@
+"""Parameter initializers matching the reference's torch init semantics.
+
+MRR parity depends on the init *distributions* (not bitwise values):
+xavier_normal_ with relu gain for the attention projections (reference
+model_utils.py:550-558), torch.nn.Linear defaults (kaiming-uniform weight
+= U(±1/sqrt(fan_in)) and U(±1/sqrt(fan_in)) bias) elsewhere.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+RELU_GAIN = math.sqrt(2.0)
+
+
+def xavier_normal(key, shape, gain=RELU_GAIN, dtype=jnp.float32):
+    """torch.nn.init.xavier_normal_ semantics: for 2D (out, in) tensors
+    fan_in=in, fan_out=out; for >2D (a, b, *rest) fan_in=b*prod(rest),
+    fan_out=a*prod(rest)."""
+    if len(shape) == 2:
+        fan_out, fan_in = shape
+    else:
+        receptive = 1
+        for s in shape[2:]:
+            receptive *= s
+        fan_in = shape[1] * receptive
+        fan_out = shape[0] * receptive
+    std = gain * math.sqrt(2.0 / (fan_in + fan_out))
+    return std * jax.random.normal(key, shape, dtype)
+
+
+def linear_default(key, out_dim, in_dim, bias=True, dtype=jnp.float32):
+    """torch.nn.Linear default init: W=(out,in) kaiming_uniform(a=sqrt(5))
+    == U(±1/sqrt(in)); bias U(±1/sqrt(in)).  Stored transposed (in, out)
+    for row-major jnp matmuls."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_dim)
+    w = jax.random.uniform(kw, (in_dim, out_dim), dtype, -bound, bound)
+    if not bias:
+        return {"w": w}
+    b = jax.random.uniform(kb, (out_dim,), dtype, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def linear_xavier(key, out_dim, in_dim, gain=RELU_GAIN, bias=True,
+                  dtype=jnp.float32):
+    """xavier_normal_ weight + torch-default bias, as the reference's
+    reset_parameters does for fc_node/fc_edge (model_utils.py:552-553:
+    only the weight is re-initialized; the bias keeps Linear defaults)."""
+    kw, kb = jax.random.split(key)
+    w = xavier_normal(kw, (out_dim, in_dim), gain, dtype).T
+    if not bias:
+        return {"w": w}
+    bound = 1.0 / math.sqrt(in_dim)
+    b = jax.random.uniform(kb, (out_dim,), dtype, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def apply_linear(p, x):
+    y = x @ p["w"]
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def dropout(key, x, rate, deterministic):
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)

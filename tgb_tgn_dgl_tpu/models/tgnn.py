@@ -1,0 +1,234 @@
+"""TGNN — the flagship model (reference's active DGL path), TPU-native.
+
+Re-design of reference model_utils.py:14-159 (TGNN), :201-237 (TimeEncode),
+:422-455 (TemporalEdgePreprocess), :471-612 (EdgeGATConv), :615-697
+(TemporalTransformerConv), :165-195 (EdgePredictor).
+
+Architecture translation (SURVEY.md §7.2): the reference's per-batch loop —
+sequential dependency sub-blocks, ``dgl.in_subgraph`` extraction, in-loop
+``g.add_edges`` graph growth — is replaced by ONE dense pass over the
+host-packed grid (data/packer.py): every (node, block) root slot carries a
+fixed-width row of in-edges (K cache + 1 self-loop + P intra-batch) with
+Δt pre-resolved, so attention is a masked row softmax over an (R, Kp)
+grid.  Causality is preserved by construction of the grid, not by
+sequential execution: block-i positive edges appear only in rows of blocks
+> i.  No dynamic shapes, no scatter into a growing graph, no Python loop
+under jit.
+
+Faithful quirks preserved (flags to change them):
+  * message_mode='scalar': the reference's EdgeGAT messages are per-head
+    SCALARS — msg = a * el_prime with el_prime of shape (E, H, 1)
+    (model_utils.py:560-563,587-599) — broadcast-added to the identity
+    residual and averaged over heads.  The fused form here never
+    materializes (E, H*D) projections: fc_node/fc_edge collapse with
+    attn_l/attn_r/attn_e into (D_in → H) projections, which is exact
+    because dropout is applied to the *inputs*.  'vector' gives the
+    corrected per-head vector-message attention.
+  * The memory is frozen at all-ones (model_utils.py:270-271; update path
+    commented out :139-146) — train.frozen_memory=False swaps in the real
+    mailbox memory (models/memory.py).
+  * Known reference bug NOT replicated: at eval the reference pairs
+    ``h_src.tile(M, 1)`` (neg-major order) with event-major negative
+    embeddings (model_utils.py:159,192 vs epoch_utils.py:100), scrambling
+    (src, neg) pairs across events when M > 1.  We pair each source with
+    its own negatives.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..data.packer import KIND_INTRA, KIND_CACHE, KIND_INVALID, KIND_SELF
+from ..ops.segment import masked_softmax
+from ..ops.time_encode import init_time_encode
+from .init import (apply_linear, dropout, linear_default, linear_xavier,
+                   xavier_normal)
+
+
+class TGNNConfig(NamedTuple):
+    edge_feat_dim: int
+    hidden_dim: int = 100          # gnn.dim_out; also time_dim & memory_dim
+    num_heads: int = 8             # gnn.att_head
+    num_layers: int = 1            # gnn.layer
+    message_mode: str = "scalar"   # 'scalar' (reference quirk) | 'vector'
+    feat_drop: float = 0.2         # train.dropout (reference hardcodes 0.6)
+    attn_drop: float = 0.2         # train.att_dropout
+    negative_slope: float = 0.2    # leaky_relu (model_utils.py:517)
+    compute_dtype: Any = jnp.float32
+
+
+def init_tgnn(key, cfg: TGNNConfig) -> Dict:
+    """Build the learnable pytree.  time_dim = hidden_dim (the reference
+    overrides its time_dim argument, model_utils.py:18)."""
+    D = cfg.hidden_dim
+    H = cfg.num_heads
+    De = cfg.edge_feat_dim + D       # edge feat ⊕ time encoding
+    keys = jax.random.split(key, 12)
+    params = {
+        "time": init_time_encode(D),
+        "gat": {
+            "fc_node": linear_xavier(keys[0], H * D, D),
+            "fc_edge": linear_xavier(keys[1], H * D, De),
+            "attn_l": xavier_normal(keys[2], (1, H, D))[0],
+            "attn_r": xavier_normal(keys[3], (1, H, D))[0],
+            "attn_e": xavier_normal(keys[4], (1, H, D))[0],
+        },
+        "pred": {
+            "src_fc": linear_default(keys[5], D, D),
+            "dst_fc": linear_default(keys[6], D, D),
+            "out_fc": linear_default(keys[7], 1, D),
+        },
+    }
+    # residual: Identity when node_feats == out_feats (model_utils.py:541-546)
+    # — always true here since memory_dim == hidden_dim.
+    return params
+
+
+def _fused_attn_proj(lin: Dict, attn: jnp.ndarray):
+    """Collapse fc(x).view(-1,H,D) ⊙ attn → sum(-1) into x @ W_eff + b_eff.
+
+    fc weight is stored (in, H*D); attn is (H, D).  Exact because the
+    reference applies dropout to fc *inputs* (model_utils.py:579-589)."""
+    in_dim = lin["w"].shape[0]
+    H, D = attn.shape
+    w = lin["w"].reshape(in_dim, H, D)
+    w_eff = jnp.einsum("ihd,hd->ih", w, attn)
+    b_eff = jnp.einsum("hd,hd->h", lin["b"].reshape(H, D), attn)
+    return w_eff, b_eff
+
+
+def tgnn_embed(
+    params: Dict,
+    cfg: TGNNConfig,
+    memory: jnp.ndarray,           # (N, D) node memory (frozen: ones)
+    feats_table: jnp.ndarray,      # (E_total, F) dataset msg table
+    pack,                          # device Pack (see data/packer.py)
+    *,
+    train: bool,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Embed every root slot: returns (R, D) embeddings.
+
+    One dense fused pass = TemporalEdgePreprocess (Δt encode ⊕ edge feat,
+    model_utils.py:440-449) + EdgeGATConv (attention logits el+ee+er,
+    leaky-relu, per-root softmax, weighted sum, residual, head mean,
+    model_utils.py:565-612,688-697) across ALL dependency blocks at once.
+    """
+    D = cfg.hidden_dim
+    H = cfg.num_heads
+    cdt = cfg.compute_dtype
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    k_nf, k_ef, k_attn = jax.random.split(rng, 3)
+    det = not train
+
+    kind = pack.nbr_kind                       # (R, Kp) int8
+    mask = kind != KIND_INVALID                # (R, Kp)
+
+    # ---- edge features: msg-table gather; self-loops are ones ----------
+    feat_idx = jnp.clip(pack.nbr_feat, 0, feats_table.shape[0] - 1)
+    ef = feats_table[feat_idx].astype(cdt)     # (R, Kp, F)
+    is_self = (kind == KIND_SELF)[..., None]
+    ef = jnp.where(is_self, jnp.ones_like(ef), ef)
+    ef = jnp.where(mask[..., None], ef, 0.0)
+
+    # ---- Δt time encoding (TemporalEdgePreprocess) ----------------------
+    te = jnp.cos(pack.nbr_dt[..., None] * params["time"]["w"]
+                 + params["time"]["b"]).astype(cdt)   # (R, Kp, D)
+    e_in = jnp.concatenate([ef, te], axis=-1)  # (R, Kp, F+D)
+
+    # ---- node features (memory rows) ------------------------------------
+    nf_src = memory[pack.nbr_nid].astype(cdt)  # (R, Kp, D)
+    nf_dst = memory[pack.root_nid].astype(cdt) # (R, D)
+    nf_src = dropout(k_nf, nf_src, cfg.feat_drop, det)
+    nf_dst = dropout(jax.random.fold_in(k_nf, 1), nf_dst, cfg.feat_drop, det)
+    e_in = dropout(k_ef, e_in, cfg.feat_drop, det)
+
+    gat = params["gat"]
+    if cfg.message_mode == "scalar":
+        wl, bl = _fused_attn_proj(gat["fc_node"], gat["attn_l"])
+        wr, br = _fused_attn_proj(gat["fc_node"], gat["attn_r"])
+        we, be = _fused_attn_proj(gat["fc_edge"], gat["attn_e"])
+        el = nf_src @ wl.astype(cdt) + bl.astype(cdt)       # (R, Kp, H)
+        er = nf_dst @ wr.astype(cdt) + br.astype(cdt)       # (R, H)
+        ee = e_in @ we.astype(cdt) + be.astype(cdt)         # (R, Kp, H)
+        el_prime = el + ee
+        logits = jax.nn.leaky_relu(el_prime + er[:, None, :],
+                                   cfg.negative_slope)
+        a = masked_softmax(logits, mask[..., None], axis=1)  # (R, Kp, H)
+        a = dropout(k_attn, a, cfg.attn_drop, det)
+        out = jnp.sum(a * el_prime, axis=1)                  # (R, H)
+        # identity residual + head mean: mean_h(out_h + nf_dst_d)
+        embed = nf_dst + jnp.mean(out, axis=-1, keepdims=True)
+    else:
+        # corrected vector-message attention
+        node_p = apply_linear(gat["fc_node"], nf_src).reshape(
+            *nf_src.shape[:-1], H, D)                        # (R, Kp, H, D)
+        root_p = apply_linear(gat["fc_node"], nf_dst).reshape(-1, H, D)
+        edge_p = apply_linear(gat["fc_edge"], e_in).reshape(
+            *e_in.shape[:-1], H, D)
+        el = jnp.sum(node_p * gat["attn_l"], -1)             # (R, Kp, H)
+        er = jnp.sum(root_p * gat["attn_r"], -1)             # (R, H)
+        ee = jnp.sum(edge_p * gat["attn_e"], -1)
+        logits = jax.nn.leaky_relu(el + ee + er[:, None, :],
+                                   cfg.negative_slope)
+        a = masked_softmax(logits, mask[..., None], axis=1)
+        a = dropout(k_attn, a, cfg.attn_drop, det)
+        msg = a[..., None] * (node_p + edge_p)               # (R, Kp, H, D)
+        out = jnp.sum(msg, axis=1)                           # (R, H, D)
+        embed = jnp.mean(out + nf_dst[:, None, :], axis=1)
+    return embed.astype(jnp.float32)
+
+
+def edge_predictor(params: Dict, h_src, h_pos, h_neg):
+    """GraphMixer-style 2-tower scorer (reference model_utils.py:165-195):
+    out_fc(relu(src_fc(h_s) + dst_fc(h_d))).  h_neg may be (B, D) or
+    (B, M, D); each source pairs with its own negatives (reference tile
+    bug not replicated — see module docstring)."""
+    s = apply_linear(params["src_fc"], h_src)
+    p = apply_linear(params["dst_fc"], h_pos)
+    n = apply_linear(params["dst_fc"], h_neg)
+    pos = apply_linear(params["out_fc"], jax.nn.relu(s + p))[..., 0]
+    if n.ndim == 3:
+        s = s[:, None, :]
+    neg = apply_linear(params["out_fc"], jax.nn.relu(s + n))[..., 0]
+    return pos, neg
+
+
+def tgnn_forward(
+    params: Dict,
+    cfg: TGNNConfig,
+    memory: jnp.ndarray,
+    feats_table: jnp.ndarray,
+    pack,
+    *,
+    train: bool,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full forward: (pos_logits (B,), neg_logits (B,) or (B, M))."""
+    embed = tgnn_embed(params, cfg, memory, feats_table, pack,
+                       train=train, rng=rng)
+    h_src = embed[pack.ev_src_slot]
+    h_pos = embed[pack.ev_pos_slot]
+    h_neg = embed[pack.ev_neg_slot]
+    return edge_predictor(params["pred"], h_src, h_pos, h_neg)
+
+
+def bce_loss(pos_logits, neg_logits, ev_valid):
+    """BCEWithLogits mean over pos + mean over neg (reference
+    epoch_utils.py:295-296), masked to real (non-padded) events."""
+    v = ev_valid.astype(jnp.float32)
+    pos_l = jnp.maximum(pos_logits, 0) - pos_logits + \
+        jnp.log1p(jnp.exp(-jnp.abs(pos_logits)))
+    neg_l = jnp.maximum(neg_logits, 0) + \
+        jnp.log1p(jnp.exp(-jnp.abs(neg_logits)))
+    denom = jnp.maximum(v.sum(), 1.0)
+    pos_term = (pos_l * v).sum() / denom
+    if neg_logits.ndim == 2:
+        m = neg_logits.shape[1]
+        neg_term = (neg_l * v[:, None]).sum() / jnp.maximum(v.sum() * m, 1.0)
+    else:
+        neg_term = (neg_l * v).sum() / denom
+    return pos_term + neg_term

@@ -1,0 +1,145 @@
+"""Config system: the TGL 4-section YAML schema, every knob live.
+
+The reference parses its YAML into 4 loose dicts (``parse_config``,
+reference ``utils.py:17-23``) and silently ignores most knobs
+(SURVEY.md §5.6).  Here the same schema maps onto typed dataclasses and
+every field is honored by the engine:
+
+  sampling: layer / neighbor / strategy / prop_time / history / duration /
+            num_thread      (reference config/TGN.yml:1-9)
+  memory:   type / dim_time / deliver_to / mail_combine / memory_update /
+            mailbox_size / combine_node_feature / dim_out  (TGN.yml:10-18)
+  gnn:      arch / layer / att_head / dim_time / dim_out   (TGN.yml:19-24)
+  train:    epoch / batch_size / lr / dropout / att_dropout / all_on_gpu
+            (TGN.yml:25-32)
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import yaml
+
+
+@dataclass
+class SamplingConfig:
+    layer: int = 1
+    neighbor: List[int] = field(default_factory=lambda: [10])
+    strategy: str = "recent"          # 'recent' | 'uniform'
+    prop_time: bool = False
+    history: int = 1
+    duration: float = 0.0
+    num_thread: int = 32              # host-side packer/sampler threads
+
+    @property
+    def num_neighbors(self) -> int:
+        return int(self.neighbor[0])
+
+
+@dataclass
+class MemoryConfig:
+    type: str = "node"                # 'node' | 'none'
+    dim_time: int = 100
+    deliver_to: str = "self"
+    mail_combine: str = "last"        # 'last' | 'mean'
+    memory_update: str = "gru"        # 'gru' | 'rnn'
+    mailbox_size: int = 1
+    combine_node_feature: bool = True
+    dim_out: int = 100
+
+    @property
+    def enabled(self) -> bool:
+        return self.type == "node"
+
+
+@dataclass
+class GnnConfig:
+    arch: str = "transformer_attention"
+    layer: int = 1
+    att_head: int = 8
+    dim_time: int = 100
+    dim_out: int = 100
+    # Extension knobs beyond the reference schema (defaults match reference):
+    # 'scalar' reproduces the reference EdgeGATConv message quirk
+    # (model_utils.py:560-563: messages are (E, H, 1) scalars); 'vector'
+    # is the corrected per-head vector-message attention.
+    message_mode: str = "scalar"
+    # Reference hardcodes 0.6 ignoring config (model_utils.py:664-666);
+    # we honor train.dropout/att_dropout (SURVEY.md §7.5). Set this to
+    # replicate the hardcoded value for parity debugging.
+    override_dropout: Optional[float] = None
+
+
+@dataclass
+class TrainConfig:
+    epoch: int = 3000
+    batch_size: int = 2000
+    lr: float = 1e-4
+    dropout: float = 0.2
+    att_dropout: float = 0.2
+    all_on_gpu: bool = True           # device-resident edge features
+    reorder: Optional[int] = None
+    # Extension knobs (defaults match reference behavior):
+    seed: int = 0
+    # Intra-batch predecessor cap per root slot (SURVEY.md §7.4 item 1);
+    # None = no cap (use per-batch max, bucketed).
+    max_intra_block: Optional[int] = None
+    # Reference freezes memory at all-ones (model_utils.py:270-271,31);
+    # True reproduces that; False enables the real TGN mailbox memory.
+    frozen_memory: bool = True
+    # 'truncate_min' = reference eval-negative handling
+    # (epoch_utils.py:48-56); 'pad_mask' = faithful-to-TGB pad+mask.
+    eval_neg_mode: str = "truncate_min"
+    # dtype for the dense compute path: 'float32' | 'bfloat16'
+    compute_dtype: str = "float32"
+
+
+@dataclass
+class FrameworkConfig:
+    sampling: SamplingConfig = field(default_factory=SamplingConfig)
+    memory: MemoryConfig = field(default_factory=MemoryConfig)
+    gnn: GnnConfig = field(default_factory=GnnConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    def as_param_dicts(self) -> Tuple[Dict, Dict, Dict, Dict]:
+        """Reference-parity accessor: the 4 dicts of ``parse_config``
+        (reference utils.py:17-23)."""
+        return (
+            dataclasses.asdict(self.sampling),
+            dataclasses.asdict(self.memory),
+            dataclasses.asdict(self.gnn),
+            dataclasses.asdict(self.train),
+        )
+
+
+def _build(dc_cls, raw: Dict[str, Any]):
+    known = {f.name for f in dataclasses.fields(dc_cls)}
+    kwargs = {k: v for k, v in raw.items() if k in known}
+    unknown = set(raw) - known
+    if unknown:
+        raise ValueError(f"Unknown {dc_cls.__name__} keys: {sorted(unknown)}")
+    return dc_cls(**kwargs)
+
+
+def parse_config(path: str) -> FrameworkConfig:
+    """Parse a TGL-schema YAML file (each section is a 1-element list,
+    as in reference config/TGN.yml) into a FrameworkConfig."""
+    with open(path, "r") as f:
+        conf = yaml.safe_load(f)
+    return parse_config_dict(conf)
+
+
+def parse_config_dict(conf: Dict[str, Any]) -> FrameworkConfig:
+    def section(name):
+        raw = conf.get(name, [{}])
+        if isinstance(raw, list):
+            raw = raw[0] if raw else {}
+        return raw or {}
+
+    return FrameworkConfig(
+        sampling=_build(SamplingConfig, section("sampling")),
+        memory=_build(MemoryConfig, section("memory")),
+        gnn=_build(GnnConfig, section("gnn")),
+        train=_build(TrainConfig, section("train")),
+    )
