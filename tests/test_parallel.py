@@ -1,0 +1,80 @@
+"""Multi-device tests on the simulated 8-device CPU mesh (conftest forces
+xla_force_host_platform_device_count=8) — SURVEY.md §4/§7 phase 5."""
+import numpy as np
+import pytest
+
+import jax
+
+from tgb_tgn_dgl_tpu.parallel import mesh as mesh_lib
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_shapes():
+    m = mesh_lib.make_mesh(8)
+    assert m.shape["dp"] * m.shape["state"] == 8
+    m2 = mesh_lib.make_mesh(8, dp=8, state=1)
+    assert dict(m2.shape) == {"dp": 8, "state": 1}
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dryrun_multichip_8():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
+def test_dryrun_multichip_2():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(2)
+
+
+def test_entry_compiles():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    pos, neg = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(pos)).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_step_matches_single_device():
+    """The dp×state sharded train step computes the same loss/updates as
+    the single-device step (same inputs, deterministic rng)."""
+    import optax
+    import __graft_entry__ as ge
+    from tgb_tgn_dgl_tpu.parallel.sharded import build_sharded_train_step
+    from tgb_tgn_dgl_tpu.models.tgnn import bce_loss, tgnn_forward
+
+    model_cfg, params, memory, feats, pack, _ = ge._make_example(
+        batch_size=64, num_nodes=256, msg_dim=16, hidden=32, heads=4, seed=3)
+    # disable dropout so single vs sharded rngs agree
+    model_cfg = model_cfg._replace(feat_drop=0.0, attn_drop=0.0)
+    optimizer = optax.adam(1e-3)
+    rng = jax.random.PRNGKey(0)
+
+    def single_step(params, memory, feats, pack):
+        opt_state = optimizer.init(params)
+
+        def loss_fn(p):
+            pos, neg = tgnn_forward(p, model_cfg, memory, feats, pack,
+                                    train=True, rng=rng)
+            return bce_loss(pos, neg, pack.ev_valid), (pos, neg)
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, _ = optimizer.update(grads, opt_state, params)
+        return loss, optax.apply_updates(params, updates)
+
+    loss1, params1 = jax.jit(single_step)(params, memory, feats,
+                                          pack.device())
+
+    mesh = mesh_lib.make_mesh(8, dp=4, state=2)
+    step, placement = build_sharded_train_step(model_cfg, optimizer, mesh)
+    opt_state = optimizer.init(params)
+    args = placement(params, opt_state, memory, feats, pack)
+    params2, _, loss2, _, _ = step(*args, rng)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-5)
+    flat1 = jax.tree.leaves(params1)
+    flat2 = jax.tree.leaves(params2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)

@@ -82,9 +82,15 @@ class TrainConfig:
     reorder: Optional[int] = None
     # Extension knobs (defaults match reference behavior):
     seed: int = 0
-    # Intra-batch predecessor cap per root slot (SURVEY.md §7.4 item 1);
-    # None = no cap (use per-batch max, bucketed).
-    max_intra_block: Optional[int] = None
+    # Intra-batch predecessor cap per root slot (SURVEY.md §7.4 item 1).
+    # Hub nodes can appear in hundreds of events of one 2000-event batch
+    # (tgbl-wiki: ~200), and the packed in-edge grid is (R, K+1+P) — an
+    # uncapped P blows HBM on hub-heavy streams.  The default keeps each
+    # root's 32 most-recent intra-batch predecessors (same recency
+    # principle as the K=10 neighbor cache); None = exact reference
+    # semantics (ALL earlier in-batch edges into a root,
+    # model_utils.py:151-157) for parity runs.
+    max_intra_block: Optional[int] = 32
     # Reference freezes memory at all-ones (model_utils.py:270-271,31);
     # True reproduces that; False enables the real TGN mailbox memory.
     frozen_memory: bool = True
