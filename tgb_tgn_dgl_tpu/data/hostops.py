@@ -61,6 +61,14 @@ def _load():
         ]
         lib.sample_recent.restype = None
 
+        lib.sample_uniform.argtypes = [
+            i64p, i32p, i32p, f32p,
+            i32p, f32p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_uint64, ctypes.c_int32,
+            i32p, i32p, f32p,
+        ]
+        lib.sample_uniform.restype = None
+
         _LIB = lib
         return _LIB
 
@@ -104,4 +112,18 @@ def sample_recent(indptr, indices, eid, ts, nodes, times, k, num_threads=None):
     nt = num_threads or min(32, os.cpu_count() or 1)
     lib.sample_recent(indptr, indices, eid, ts, nodes, times, n, k, nt,
                       nbr, out_eid, out_ts)
+    return nbr, out_eid, out_ts
+
+
+def sample_uniform(indptr, indices, eid, ts, nodes, times, k, seed=0,
+                   num_threads=None):
+    lib = _load()
+    assert lib is not None
+    n = len(nodes)
+    nbr = np.empty((n, k), dtype=np.int32)
+    out_eid = np.empty((n, k), dtype=np.int32)
+    out_ts = np.empty((n, k), dtype=np.float32)
+    nt = num_threads or min(32, os.cpu_count() or 1)
+    lib.sample_uniform(indptr, indices, eid, ts, nodes, times, n, k,
+                       seed, nt, nbr, out_eid, out_ts)
     return nbr, out_eid, out_ts

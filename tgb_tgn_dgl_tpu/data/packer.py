@@ -62,6 +62,14 @@ class DevicePack(NamedTuple):
     ev_src_slot: "np.ndarray"
     ev_pos_slot: "np.ndarray"
     ev_neg_slot: "np.ndarray"
+    uniq_nid: "np.ndarray"
+    root_loc: "np.ndarray"
+    nbr_loc: "np.ndarray"
+    mw_node: "np.ndarray"
+    mw_slot: "np.ndarray"
+    mw_partner: "np.ndarray"
+    mw_t: "np.ndarray"
+    mw_eid: "np.ndarray"
 
 
 class Pack(NamedTuple):
@@ -86,6 +94,19 @@ class Pack(NamedTuple):
     ev_src_slot: np.ndarray   # (B,) int32
     ev_pos_slot: np.ndarray   # (B,) int32
     ev_neg_slot: np.ndarray   # (B,) or (B, M) int32
+    # memory support (models/memory.py): unique read set + local maps
+    uniq_nid: np.ndarray      # (U,) int32 — every node whose memory is
+                              # read this batch (roots ∪ cache nbrs);
+                              # padded entries = num_nodes (trash row)
+    root_loc: np.ndarray      # (R,) int32 index into uniq table
+    nbr_loc: np.ndarray       # (R, Kp) int32 index into uniq table
+    # mailbox write plan: one (node, slot) pair per kept event-direction
+    # write, unique by construction; invalid entries have node=num_nodes
+    mw_node: np.ndarray       # (2B,) int32
+    mw_slot: np.ndarray       # (2B,) int32
+    mw_partner: np.ndarray    # (2B,) int32
+    mw_t: np.ndarray          # (2B,) float32
+    mw_eid: np.ndarray        # (2B,) int32
     num_blocks: int
     num_real_events: int
     num_real_roots: int
@@ -125,6 +146,7 @@ class PackerConfig:
     max_intra_block: Optional[int] = None   # P cap (None = exact)
     root_bucket_lo: int = 128
     strategy: str = "recent"         # 'recent' | 'uniform' (TGL sampler knob)
+    mailbox_size: int = 1            # S (config memory.mailbox_size)
     seed: int = 0
 
 
@@ -143,27 +165,35 @@ class StreamPacker:
         self.cache_t = np.full((num_nodes, K), -1.0, dtype=np.float32)
         self.clock = np.zeros(num_nodes, dtype=np.float32)
         self.cur_e_id = 0
+        # mailbox ring pointers (host mirror of MemoryState slot layout)
+        self.mail_ptr = np.zeros(num_nodes, dtype=np.int64)
         self._rng = np.random.default_rng(cfg.seed)
 
     # ---------------------------------------------------------------- state
     def reset_cache(self) -> None:
         """Train-epoch-start reset (reference neighbor_loader.py:106-109 via
         epoch_utils.py:175).  Clocks intentionally persist — ``time_assoc``
-        is never reset in the reference."""
+        is never reset in the reference.  Mailbox ring pointers reset with
+        the cache (PyG path resets memory + cache together at train start,
+        reference pyg_epoch_utils.py:11-16; the engine resets the device
+        MemoryState in the same place)."""
         self.cache_eid.fill(-1)
         self.cache_t.fill(-1.0)
         self.cur_e_id = 0
+        self.mail_ptr.fill(0)
 
     def snapshot(self):
         """State backup for val→test protocol experiments (analogue of
         MemoryModule.backup_memory, reference model_utils.py:290-297)."""
         return (self.cache_nbr.copy(), self.cache_eid.copy(),
-                self.cache_t.copy(), self.clock.copy(), self.cur_e_id)
+                self.cache_t.copy(), self.clock.copy(), self.cur_e_id,
+                self.mail_ptr.copy())
 
     def restore(self, snap) -> None:
         self.cache_nbr, self.cache_eid, self.cache_t, self.clock, \
-            self.cur_e_id = (snap[0].copy(), snap[1].copy(), snap[2].copy(),
-                             snap[3].copy(), snap[4])
+            self.cur_e_id, self.mail_ptr = (
+                snap[0].copy(), snap[1].copy(), snap[2].copy(),
+                snap[3].copy(), snap[4], snap[5].copy())
 
     def insert(self, src: np.ndarray, dst: np.ndarray, t: np.ndarray,
                e_id: Optional[np.ndarray] = None) -> None:
@@ -346,6 +376,58 @@ class StreamPacker:
                     nbr_feat[off + j, col] = ev_idx[take]
                     nbr_dt[off + j, col] = t[take] - self.clock[partners]
 
+        # --- memory read set + local index maps ---------------------------
+        # uniq = every node whose memory rows the model reads: roots
+        # (event endpoints + negatives) ∪ cache neighbors.  Intra-batch
+        # partners and self-loops are endpoints, hence already roots.
+        cache_mask = nbr_kind == KIND_CACHE
+        uniq = np.unique(np.concatenate(
+            [root_nid_all, nbr_nid[cache_mask].ravel()])) \
+            if total_roots else np.zeros(0, np.int64)
+        U = len(uniq)
+        Ub = _bucket_pow2(U + 1, cfg.root_bucket_lo)
+        uniq_nid = np.full(Ub, self.N, np.int32)       # pad = trash row
+        uniq_nid[:U] = uniq
+        root_loc = np.full(R, Ub - 1, np.int32)        # pad roots → trash
+        root_loc[:total_roots] = np.searchsorted(uniq, root_nid_all)
+        nbr_loc = np.full((R, Kp), Ub - 1, np.int32)
+        nbr_ok = nbr_kind != KIND_INVALID
+        nbr_loc[nbr_ok] = np.searchsorted(uniq, nbr_nid[nbr_ok])
+
+        # --- mailbox write plan (ring slots, last-S per node) -------------
+        S = cfg.mailbox_size
+        W = 2 * B
+        mw_node = np.full(W, self.N, np.int32)
+        mw_slot = np.zeros(W, np.int32)
+        mw_partner = np.zeros(W, np.int32)
+        mw_t = np.zeros(W, np.float32)
+        mw_eid = np.zeros(W, np.int32)
+        if Braw:
+            wnode = np.empty(2 * Braw, np.int64)
+            wpart = np.empty(2 * Braw, np.int64)
+            wnode[0::2], wnode[1::2] = src, dst
+            wpart[0::2], wpart[1::2] = dst, src
+            wt = np.repeat(t, 2)
+            weid = np.repeat(np.asarray(ev_idx, np.int64), 2)
+            posw = np.arange(2 * Braw)
+            order = np.lexsort((posw, wnode))
+            sn = wnode[order]
+            runs, starts = np.unique(sn, return_index=True)
+            ends = np.append(starts[1:], len(sn))
+            for u, a, b2 in zip(runs, starts, ends):
+                c = b2 - a
+                kept = min(c, S)
+                take = order[b2 - kept:b2]      # last `kept`, in order
+                ptr = self.mail_ptr[u]
+                slots = (ptr + np.arange(kept)) % S
+                self.mail_ptr[u] = (ptr + kept) % S
+                out = take            # positions within the W buffer
+                mw_node[out] = u
+                mw_slot[out] = slots
+                mw_partner[out] = wpart[take]
+                mw_t[out] = wt[take]
+                mw_eid[out] = weid[take]
+
         # --- pad events to fixed B ----------------------------------------
         def pad1(a, fill=0, dtype=None):
             out = np.full(B, fill, dtype=dtype or a.dtype)
@@ -369,6 +451,9 @@ class StreamPacker:
             ev_src_slot=pad1(ev_src_slot.astype(np.int32)),
             ev_pos_slot=pad1(ev_pos_slot.astype(np.int32)),
             ev_neg_slot=(ev_neg_slot_out if M > 1 else ev_neg_slot_out[:, 0]),
+            uniq_nid=uniq_nid, root_loc=root_loc, nbr_loc=nbr_loc,
+            mw_node=mw_node, mw_slot=mw_slot, mw_partner=mw_partner,
+            mw_t=mw_t, mw_eid=mw_eid,
             num_blocks=k,
             num_real_events=Braw,
             num_real_roots=total_roots,

@@ -27,8 +27,12 @@ import optax
 from ..data.dataset import TemporalData
 from ..data.dependency import dependency_aware_batch
 from ..data.packer import DevicePack, Pack, PackerConfig, StreamPacker
+from ..models.memory import (MemoryModelConfig, apply_mail, commit,
+                             init_memory_params, init_memory_state)
 from ..models.tgnn import TGNNConfig, bce_loss, init_tgnn, tgnn_forward
 from ..utils.config import FrameworkConfig
+from .checkpoint import (EarlyStopMonitor, load_pytree, rng_state_from_array,
+                         rng_state_to_array, save_pytree)
 from .evaluator import Evaluator, average_precision, roc_auc
 from .negatives import FixedNegatives, NegLinkSamplerDest
 
@@ -61,14 +65,38 @@ class Engine:
             num_neighbors=config.sampling.num_neighbors,
             batch_size=tr.batch_size,
             max_intra_block=tr.max_intra_block,
+            mailbox_size=config.memory.mailbox_size,
             seed=tr.seed,
         ))
+        # Real TGN mailbox memory (models/memory.py) unless the reference's
+        # frozen-all-ones quirk is requested (model_utils.py:270-271) or
+        # memory.type == 'none'.
+        self.use_memory = config.memory.enabled and not tr.frozen_memory
         key = jax.random.PRNGKey(tr.seed)
-        self.params = init_tgnn(key, self.model_cfg)
+        k_model, k_mem = jax.random.split(key)
+        self.params = init_tgnn(k_model, self.model_cfg)
+        if self.use_memory:
+            assert config.memory.dim_out == config.gnn.dim_out, (
+                "memory.dim_out must equal gnn.dim_out (the embedding "
+                "reads memory rows as node features)")
+            self.mem_cfg = MemoryModelConfig(
+                num_nodes=data.num_nodes,
+                raw_msg_dim=data.msg_dim,
+                memory_dim=config.memory.dim_out,
+                time_dim=config.memory.dim_time,
+                mailbox_size=config.memory.mailbox_size,
+                updater=config.memory.memory_update,
+                combine=config.memory.mail_combine,
+            )
+            self.params["memory"] = init_memory_params(k_mem, self.mem_cfg)
+            self.mem_state = init_memory_state(self.mem_cfg)
+        else:
+            self.mem_cfg = None
+            self.mem_state = None
         self.optimizer = optax.adam(tr.lr)
         self.opt_state = self.optimizer.init(self.params)
-        # Frozen all-ones memory (reference model_utils.py:270-271); the
-        # real mailbox memory model lives in models/tgn.py.
+        # Frozen all-ones memory table for the reference-parity path
+        # (reference model_utils.py:270-271).
         self.memory = jnp.ones((data.num_nodes, config.gnn.dim_out),
                                jnp.float32)
         self.feats = jnp.asarray(data.msg)       # device-resident msg table
@@ -91,6 +119,35 @@ class Engine:
         model_cfg = self.model_cfg
         optimizer = self.optimizer
 
+        if self.use_memory:
+            mem_cfg = self.mem_cfg
+
+            def step(params, opt_state, mem_state, feats, pack, rng):
+                def loss_fn(p):
+                    mem_rows, lu_rows = apply_mail(
+                        p["memory"], mem_cfg, mem_state, pack.uniq_nid,
+                        feats)
+                    pos, neg = tgnn_forward(p, model_cfg, mem_rows, feats,
+                                            pack, train=True, rng=rng,
+                                            local=True)
+                    return (bce_loss(pos, neg, pack.ev_valid),
+                            (pos, neg, mem_rows, lu_rows))
+
+                (loss, (pos, neg, mem_rows, lu_rows)), grads = \
+                    jax.value_and_grad(loss_fn, has_aux=True)(params)
+                mem_state = commit(mem_cfg, mem_state, pack.uniq_nid,
+                                   mem_rows, lu_rows, pack.mw_node,
+                                   pack.mw_slot, pack.mw_partner,
+                                   pack.mw_t, pack.mw_eid)
+                updates, opt_state = optimizer.update(grads, opt_state,
+                                                      params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, mem_state, loss, pos, neg
+
+            if self._jit:
+                return jax.jit(step, donate_argnums=(0, 1, 2))
+            return step
+
         def step(params, opt_state, memory, feats, pack, rng):
             def loss_fn(p):
                 pos, neg = tgnn_forward(p, model_cfg, memory, feats, pack,
@@ -109,6 +166,23 @@ class Engine:
 
     def _build_eval_forward(self):
         model_cfg = self.model_cfg
+
+        if self.use_memory:
+            mem_cfg = self.mem_cfg
+
+            def fwd(params, mem_state, feats, pack):
+                mem_rows, lu_rows = apply_mail(
+                    params["memory"], mem_cfg, mem_state, pack.uniq_nid,
+                    feats)
+                pos, neg = tgnn_forward(params, model_cfg, mem_rows, feats,
+                                        pack, train=False, local=True)
+                mem_state = commit(mem_cfg, mem_state, pack.uniq_nid,
+                                   mem_rows, lu_rows, pack.mw_node,
+                                   pack.mw_slot, pack.mw_partner,
+                                   pack.mw_t, pack.mw_eid)
+                return pos, neg, mem_state
+
+            return jax.jit(fwd, donate_argnums=(1,)) if self._jit else fwd
 
         def fwd(params, memory, feats, pack):
             return tgnn_forward(params, model_cfg, memory, feats, pack,
@@ -140,6 +214,10 @@ class Engine:
     def train_epoch(self) -> Dict[str, float]:
         d = self.data
         self.packer.reset_cache()
+        if self.use_memory:
+            # memory + cache reset together at train start (reference
+            # pyg_epoch_utils.py:11-16)
+            self.mem_state = init_memory_state(self.mem_cfg)
         total_loss = 0.0
         total = 0
         aps, aucs = [], []
@@ -150,9 +228,15 @@ class Engine:
                                     eval_mode=False)
             self._rng, sk = jax.random.split(self._rng)
             dev = pack.device()
-            self.params, self.opt_state, loss, pos, neg_out = \
-                self._train_step(self.params, self.opt_state, self.memory,
-                                 self.feats, dev, sk)
+            if self.use_memory:
+                (self.params, self.opt_state, self.mem_state, loss, pos,
+                 neg_out) = self._train_step(
+                    self.params, self.opt_state, self.mem_state,
+                    self.feats, dev, sk)
+            else:
+                self.params, self.opt_state, loss, pos, neg_out = \
+                    self._train_step(self.params, self.opt_state,
+                                     self.memory, self.feats, dev, sk)
             n = hi - lo
             total_loss += float(loss) * n
             total += n
@@ -178,8 +262,12 @@ class Engine:
             neg, _mask = fixed.query_batch(lo, hi)
             pack = self.packer.pack(src, dst, t, rows, blk, neg,
                                     eval_mode=True)
-            pos, negs = self._eval_fwd(self.params, self.memory, self.feats,
-                                       pack.device())
+            if self.use_memory:
+                pos, negs, self.mem_state = self._eval_fwd(
+                    self.params, self.mem_state, self.feats, pack.device())
+            else:
+                pos, negs = self._eval_fwd(self.params, self.memory,
+                                           self.feats, pack.device())
             n = hi - lo
             res = self.evaluator.eval({
                 "y_pred_pos": np.asarray(pos)[:n],
@@ -190,8 +278,13 @@ class Engine:
         return float(np.mean(perf))
 
     def fit(self, epochs: Optional[int] = None, log=print,
-            eval_every: int = 1) -> Dict[str, list]:
-        """Epoch driver mirroring reference pyg-mem-tgn.py:53-67."""
+            eval_every: int = 1,
+            early_stop: Optional[EarlyStopMonitor] = None,
+            checkpoint_dir: Optional[str] = None,
+            checkpoint_every: int = 0) -> Dict[str, list]:
+        """Epoch driver mirroring reference pyg-mem-tgn.py:53-67, with the
+        early-stopping/checkpoint machinery the reference ships but never
+        wires in (modules/early_stopping.py; SURVEY.md §5.4)."""
         epochs = epochs or self.config.train.epoch
         history = {"loss": [], "val": [], "train_s": [], "val_s": []}
         start = time.time()
@@ -204,6 +297,7 @@ class Engine:
                 f"Training elapsed Time (s): {t1 - t0: .4f}")
             history["loss"].append(stats["loss"])
             history["train_s"].append(t1 - t0)
+            val = None
             if (e + 1) % eval_every == 0 and self.data.val_ns is not None:
                 t0 = time.time()
                 val = self.evaluate("val")
@@ -212,5 +306,71 @@ class Engine:
                     f"elapsed Time (s): {t1 - t0: .4f}")
                 history["val"].append(val)
                 history["val_s"].append(t1 - t0)
+            if checkpoint_dir and checkpoint_every \
+                    and (e + 1) % checkpoint_every == 0:
+                self.save_checkpoint(
+                    f"{checkpoint_dir}/ckpt_epoch{e + 1:04d}.npz")
+            if early_stop is not None and val is not None:
+                if early_stop.step_check(val, self._model_state()):
+                    log(f"INFO: early stopping at epoch {e + 1} "
+                        f"(best epoch {early_stop.best_epoch})")
+                    if early_stop.best_path:
+                        self._restore_model_state(early_stop.load_best(
+                            self._model_state()))
+                    break
         log(f"Execution Time: {time.time() - start:.6f} seconds")
         return history
+
+    # -------------------------------------------------------- checkpointing
+    def _model_state(self):
+        """Learnable state only (the reference monitor checkpoints model
+        state_dicts, modules/early_stopping.py:68-77)."""
+        return {"params": self.params}
+
+    def _restore_model_state(self, state) -> None:
+        self.params = jax.tree.map(jnp.asarray, state["params"])
+
+    def _full_state(self):
+        """Everything needed for deterministic resume (SURVEY.md §5.3):
+        learnables, optimizer, device memory state, host stream state,
+        RNG and cursors."""
+        st = {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "rng": self._rng,
+            "neg_rng": rng_state_to_array(self.neg_sampler.rng),
+            "step": np.int64(self._step),
+            "packer": {
+                "cache_nbr": self.packer.cache_nbr,
+                "cache_eid": self.packer.cache_eid,
+                "cache_t": self.packer.cache_t,
+                "clock": self.packer.clock,
+                "cur_e_id": np.int64(self.packer.cur_e_id),
+                "mail_ptr": self.packer.mail_ptr,
+            },
+        }
+        if self.use_memory:
+            st["mem_state"] = self.mem_state
+        return st
+
+    def save_checkpoint(self, path: str) -> None:
+        import os
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        save_pytree(path, self._full_state())
+
+    def load_checkpoint(self, path: str) -> None:
+        st = load_pytree(path, self._full_state())
+        self.params = jax.tree.map(jnp.asarray, st["params"])
+        self.opt_state = jax.tree.map(jnp.asarray, st["opt_state"])
+        self._rng = jnp.asarray(st["rng"])
+        self.neg_sampler.rng = rng_state_from_array(st["neg_rng"])
+        self._step = int(st["step"])
+        pk = st["packer"]
+        self.packer.cache_nbr = np.asarray(pk["cache_nbr"])
+        self.packer.cache_eid = np.asarray(pk["cache_eid"])
+        self.packer.cache_t = np.asarray(pk["cache_t"])
+        self.packer.clock = np.asarray(pk["clock"])
+        self.packer.cur_e_id = int(pk["cur_e_id"])
+        self.packer.mail_ptr = np.asarray(pk["mail_ptr"])
+        if self.use_memory:
+            self.mem_state = jax.tree.map(jnp.asarray, st["mem_state"])

@@ -102,12 +102,16 @@ def _fused_attn_proj(lin: Dict, attn: jnp.ndarray):
 def tgnn_embed(
     params: Dict,
     cfg: TGNNConfig,
-    memory: jnp.ndarray,           # (N, D) node memory (frozen: ones)
+    memory: jnp.ndarray,           # (N, D) node memory (frozen: ones),
+                                   # or (U, D) local rows when local=True
     feats_table: jnp.ndarray,      # (E_total, F) dataset msg table
     pack,                          # device Pack (see data/packer.py)
     *,
     train: bool,
     rng: Optional[jax.Array] = None,
+    local: bool = False,           # memory is the batch-local (U, D) table
+                                   # from models/memory.apply_mail; gather
+                                   # via pack.nbr_loc/root_loc
 ) -> jnp.ndarray:
     """Embed every root slot: returns (R, D) embeddings.
 
@@ -140,8 +144,12 @@ def tgnn_embed(
     e_in = jnp.concatenate([ef, te], axis=-1)  # (R, Kp, F+D)
 
     # ---- node features (memory rows) ------------------------------------
-    nf_src = memory[pack.nbr_nid].astype(cdt)  # (R, Kp, D)
-    nf_dst = memory[pack.root_nid].astype(cdt) # (R, D)
+    if local:
+        nf_src = memory[pack.nbr_loc].astype(cdt)   # (R, Kp, D)
+        nf_dst = memory[pack.root_loc].astype(cdt)  # (R, D)
+    else:
+        nf_src = memory[pack.nbr_nid].astype(cdt)   # (R, Kp, D)
+        nf_dst = memory[pack.root_nid].astype(cdt)  # (R, D)
     nf_src = dropout(k_nf, nf_src, cfg.feat_drop, det)
     nf_dst = dropout(jax.random.fold_in(k_nf, 1), nf_dst, cfg.feat_drop, det)
     e_in = dropout(k_ef, e_in, cfg.feat_drop, det)
@@ -206,10 +214,11 @@ def tgnn_forward(
     *,
     train: bool,
     rng: Optional[jax.Array] = None,
+    local: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full forward: (pos_logits (B,), neg_logits (B,) or (B, M))."""
     embed = tgnn_embed(params, cfg, memory, feats_table, pack,
-                       train=train, rng=rng)
+                       train=train, rng=rng, local=local)
     h_src = embed[pack.ev_src_slot]
     h_pos = embed[pack.ev_pos_slot]
     h_neg = embed[pack.ev_neg_slot]

@@ -54,6 +54,9 @@ def pack_shardings(mesh: Mesh) -> DevicePack:
         ev_neg=dp(), root_nid=dp(), root_valid=dp(),
         nbr_nid=dp(), nbr_dt=dp(), nbr_kind=dp(), nbr_feat=dp(),
         ev_src_slot=dp(), ev_pos_slot=dp(), ev_neg_slot=dp(),
+        uniq_nid=dp(), root_loc=dp(), nbr_loc=dp(),
+        mw_node=dp(), mw_slot=dp(), mw_partner=dp(), mw_t=dp(),
+        mw_eid=dp(),
     )
 
 
