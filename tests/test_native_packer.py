@@ -1,0 +1,135 @@
+"""Bit-exact parity: NativeStreamPacker (csrc/packer.cpp) vs the numpy
+StreamPacker oracle, across train batches, eval batches (2-D negatives),
+resets and snapshot/restore."""
+import numpy as np
+import pytest
+
+from tgb_tgn_dgl_tpu.data.build_hostops import build_if_needed
+from tgb_tgn_dgl_tpu.data.dataset import synthetic
+from tgb_tgn_dgl_tpu.data.dependency import get_block
+from tgb_tgn_dgl_tpu.data.packer import Pack, PackerConfig, StreamPacker
+
+pytestmark = pytest.mark.skipif(not build_if_needed(),
+                                reason="C++ toolchain unavailable")
+
+
+def _assert_packs_equal(a: Pack, b: Pack, ctx=""):
+    for f in Pack._fields:
+        va, vb = getattr(a, f), getattr(b, f)
+        if isinstance(va, np.ndarray):
+            np.testing.assert_array_equal(
+                np.asarray(va), np.asarray(vb),
+                err_msg=f"{ctx}: field {f} differs")
+        else:
+            assert va == vb, f"{ctx}: field {f}: {va} != {vb}"
+
+
+def _run_parity(mailbox_size=1, max_intra=None, eval_every=0, num_neg=3,
+                batches=6, batch_size=150, seed=0):
+    data = synthetic("tgbl-wiki-small", num_edges=batch_size * batches,
+                     num_nodes=80, msg_dim=4, num_neg=num_neg, seed=seed)
+    from tgb_tgn_dgl_tpu.data.native_packer import NativeStreamPacker
+    cfg = PackerConfig(num_neighbors=6, batch_size=batch_size,
+                       max_intra_block=max_intra,
+                       mailbox_size=mailbox_size)
+    py = StreamPacker(data.num_nodes, cfg)
+    cc = NativeStreamPacker(data.num_nodes, cfg)
+    rng = np.random.default_rng(1)
+    for bi in range(batches):
+        rows = np.arange(bi * batch_size, (bi + 1) * batch_size)
+        src, dst, t = data.src[rows], data.dst[rows], data.t[rows]
+        blocks = get_block(src, dst)
+        if eval_every and bi % eval_every == 1:
+            neg = rng.choice(data.unique_dst(),
+                             (batch_size, num_neg)).astype(np.int32)
+            em = True
+        else:
+            neg = rng.choice(data.unique_dst(), batch_size).astype(np.int32)
+            em = False
+        pa = py.pack(src, dst, t, rows, blocks, neg, eval_mode=em)
+        pb = cc.pack(src, dst, t, rows, blocks, neg, eval_mode=em)
+        _assert_packs_equal(pa, pb, ctx=f"batch {bi} eval={em}")
+        # state parity
+        np.testing.assert_array_equal(py.cache_eid, cc.cache_eid,
+                                      err_msg=f"batch {bi} cache_eid")
+        np.testing.assert_array_equal(py.cache_nbr, cc.cache_nbr)
+        np.testing.assert_allclose(py.cache_t, cc.cache_t)
+        np.testing.assert_allclose(py.clock, cc.clock)
+        np.testing.assert_array_equal(py.mail_ptr, cc.mail_ptr)
+        assert py.cur_e_id == cc.cur_e_id
+
+
+def test_parity_train():
+    _run_parity()
+
+
+def test_parity_eval_negatives():
+    _run_parity(eval_every=2, num_neg=4)
+
+
+def test_parity_mailbox_ring():
+    _run_parity(mailbox_size=3)
+
+
+def test_parity_intra_cap():
+    _run_parity(max_intra=2)
+
+
+def test_parity_after_reset_and_restore():
+    data = synthetic("tgbl-wiki-small", num_edges=400, num_nodes=50,
+                     msg_dim=4, num_neg=2)
+    from tgb_tgn_dgl_tpu.data.native_packer import NativeStreamPacker
+    cfg = PackerConfig(num_neighbors=4, batch_size=100)
+    py = StreamPacker(data.num_nodes, cfg)
+    cc = NativeStreamPacker(data.num_nodes, cfg)
+    rng = np.random.default_rng(2)
+    for bi in range(2):
+        rows = np.arange(bi * 100, (bi + 1) * 100)
+        src, dst, t = data.src[rows], data.dst[rows], data.t[rows]
+        blocks = get_block(src, dst)
+        neg = rng.choice(data.unique_dst(), 100).astype(np.int32)
+        py.pack(src, dst, t, rows, blocks, neg)
+        cc.pack(src, dst, t, rows, blocks, neg)
+    snap_py, snap_cc = py.snapshot(), cc.snapshot()
+    py.reset_cache(); cc.reset_cache()
+    np.testing.assert_array_equal(py.cache_eid, cc.cache_eid)
+    assert py.cur_e_id == cc.cur_e_id == 0
+    py.restore(snap_py); cc.restore(snap_cc)
+    np.testing.assert_array_equal(py.cache_eid, cc.cache_eid)
+    np.testing.assert_allclose(py.clock, cc.clock)
+    # continue packing after restore — still identical
+    rows = np.arange(200, 300)
+    src, dst, t = data.src[rows], data.dst[rows], data.t[rows]
+    blocks = get_block(src, dst)
+    neg = rng.choice(data.unique_dst(), 100).astype(np.int32)
+    pa = py.pack(src, dst, t, rows, blocks, neg)
+    pb = cc.pack(src, dst, t, rows, blocks, neg)
+    _assert_packs_equal(pa, pb, "post-restore")
+
+
+def test_native_packer_speed():
+    """The native packer must beat numpy by a wide margin on a realistic
+    batch (this is its reason to exist)."""
+    import time
+    data = synthetic("tgbl-wiki", num_edges=20000)
+    from tgb_tgn_dgl_tpu.data.native_packer import NativeStreamPacker
+    cfg = PackerConfig(num_neighbors=10, batch_size=2000,
+                       max_intra_block=32)
+    py = StreamPacker(data.num_nodes, cfg)
+    cc = NativeStreamPacker(data.num_nodes, cfg)
+    rng = np.random.default_rng(3)
+
+    def run(packer):
+        packer.reset_cache()
+        t0 = time.perf_counter()
+        for bi in range(10):
+            rows = np.arange(bi * 2000, (bi + 1) * 2000)
+            src, dst, t = data.src[rows], data.dst[rows], data.t[rows]
+            blocks = get_block(src, dst)
+            neg = rng.choice(data.unique_dst(), 2000).astype(np.int32)
+            packer.pack(src, dst, t, rows, blocks, neg)
+        return time.perf_counter() - t0
+
+    t_py = run(py)
+    t_cc = run(cc)
+    assert t_cc < t_py / 3, f"native {t_cc:.3f}s vs numpy {t_py:.3f}s"

@@ -1,0 +1,515 @@
+// Native stream-state emulator + batch packer (libhostops.so).
+//
+// C++ twin of data/packer.py::StreamPacker — the host-side runtime that
+// resolves everything ragged about a batch (recency-cache neighborhoods,
+// dependency-block root sets, intra-batch graph growth, Δt resolution,
+// mailbox write plans) into the fixed-shape dense grids the TPU consumes.
+// This is the framework's equivalent of the reference's native sampler
+// dependency (the external TGL Cython/C++ sampler, reference README.md:1-2)
+// plus its GPU neighbor cache (reference neighbor_loader.py) — profiled at
+// ~100 ms/batch in numpy vs ~3 ms of TPU compute, so the host path is the
+// throughput ceiling and lives in C++.
+//
+// Exact-parity contract: every output array must match the numpy packer
+// bit-for-bit (tests/test_native_packer.py).  Ordering rules replicated:
+//   * roots per block = sorted unique(src ∪ dst ∪ neg)         (np.unique)
+//   * cache insert: per node keep top-K by (e_id desc, cache-before-new,
+//     dst-half-before-src-half)                     (argsort(-eid, stable))
+//   * clock updates: neg → dst → src, last-write-wins in flat order
+//   * eval mode: global clock wipe to the block max-time
+//
+// Usage (ctypes, data/native_packer.py):
+//   h = packer_new(N, K, S); packer_pack_begin(...) -> sizes;
+//   packer_pack_fill(...) writes into numpy-allocated buckets.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct CacheEntry {
+  int64_t eid;
+  int32_t nbr;
+  float t;
+};
+
+struct PendingBatch {
+  // inputs copied
+  std::vector<int32_t> src, dst, neg;  // neg is (braw * M) row-major
+  std::vector<float> t;
+  std::vector<int64_t> ev_idx;
+  std::vector<int32_t> blocks;
+  int64_t braw = 0, M = 1;
+  int32_t eval_mode = 0;
+  int32_t k = 0;  // number of blocks
+  // per-block root sets (sorted unique node ids), flat + offsets
+  std::vector<int32_t> root_nid;       // concatenated
+  std::vector<int64_t> offsets;        // k+1
+  // slot maps
+  std::vector<int64_t> ev_src_slot, ev_pos_slot;
+  std::vector<int64_t> ev_neg_slot;    // (braw * M)
+  // per-node intra-batch event positions (asc), via sorted arrays
+  std::vector<int64_t> run_pos;        // event position per (node,dir) entry
+  std::vector<int32_t> run_partner;
+  std::vector<int32_t> run_block;
+  std::unordered_map<int32_t, std::pair<int64_t, int64_t>> run_of;
+  std::vector<int32_t> intra_counts;   // per root slot
+  std::vector<int32_t> uniq;           // sorted unique memory read set
+  // events grouped by block: ev_by_block[blk_ptr[i]..blk_ptr[i+1])
+  std::vector<int64_t> blk_ptr;
+  std::vector<int64_t> ev_by_block;
+  int64_t total_roots = 0;
+  int64_t p_exact = 0;
+};
+
+struct Packer {
+  int64_t N;
+  int32_t K;
+  int32_t S;
+  std::vector<int32_t> cache_nbr;   // (N, K)
+  std::vector<int64_t> cache_eid;   // (N, K)
+  std::vector<float> cache_t;       // (N, K)
+  std::vector<float> clock;         // (N,)
+  std::vector<int64_t> mail_ptr;    // (N,)
+  int64_t cur_e_id = 0;
+  PendingBatch pending;
+  std::vector<int32_t> loc_of;      // (N,) scratch: node -> uniq index,
+                                    // -1 outside pack; reset after use
+};
+
+}  // namespace
+
+extern "C" {
+
+void* packer_new(int64_t num_nodes, int32_t k, int32_t s) {
+  auto* p = new Packer();
+  p->N = num_nodes;
+  p->K = k;
+  p->S = s;
+  p->cache_nbr.assign(num_nodes * k, 0);
+  p->cache_eid.assign(num_nodes * k, -1);
+  p->cache_t.assign(num_nodes * k, -1.0f);
+  p->clock.assign(num_nodes, 0.0f);
+  p->mail_ptr.assign(num_nodes, 0);
+  p->loc_of.assign(num_nodes, -1);
+  return p;
+}
+
+void packer_free(void* h) { delete static_cast<Packer*>(h); }
+
+void packer_reset(void* h) {
+  auto* p = static_cast<Packer*>(h);
+  std::fill(p->cache_eid.begin(), p->cache_eid.end(), int64_t{-1});
+  std::fill(p->cache_t.begin(), p->cache_t.end(), -1.0f);
+  std::fill(p->mail_ptr.begin(), p->mail_ptr.end(), int64_t{0});
+  p->cur_e_id = 0;
+}
+
+// State accessors for snapshot/restore and python-side inspection.
+void packer_get_state(void* h, int32_t* nbr, int64_t* eid, float* t,
+                      float* clock, int64_t* mail_ptr, int64_t* cur_e_id) {
+  auto* p = static_cast<Packer*>(h);
+  std::memcpy(nbr, p->cache_nbr.data(), p->cache_nbr.size() * 4);
+  std::memcpy(eid, p->cache_eid.data(), p->cache_eid.size() * 8);
+  std::memcpy(t, p->cache_t.data(), p->cache_t.size() * 4);
+  std::memcpy(clock, p->clock.data(), p->clock.size() * 4);
+  std::memcpy(mail_ptr, p->mail_ptr.data(), p->mail_ptr.size() * 8);
+  *cur_e_id = p->cur_e_id;
+}
+
+void packer_set_state(void* h, const int32_t* nbr, const int64_t* eid,
+                      const float* t, const float* clock,
+                      const int64_t* mail_ptr, int64_t cur_e_id) {
+  auto* p = static_cast<Packer*>(h);
+  std::memcpy(p->cache_nbr.data(), nbr, p->cache_nbr.size() * 4);
+  std::memcpy(p->cache_eid.data(), eid, p->cache_eid.size() * 8);
+  std::memcpy(p->cache_t.data(), t, p->cache_t.size() * 4);
+  std::memcpy(p->clock.data(), clock, p->clock.size() * 4);
+  std::memcpy(p->mail_ptr.data(), mail_ptr, p->mail_ptr.size() * 8);
+  p->cur_e_id = cur_e_id;
+}
+
+// Undirected recency insert, last-K per node by (eid desc, cache-first,
+// dst-half-first) — parity with StreamPacker.insert / reference
+// neighbor_loader.py:52-104.
+void packer_insert(void* h, const int32_t* src, const int32_t* dst,
+                   const float* t, const int64_t* e_id, int64_t b) {
+  auto* p = static_cast<Packer*>(h);
+  if (b == 0) return;
+  // per-node new entries in (eid asc, dst-half-before-src-half) order
+  std::unordered_map<int32_t, std::vector<CacheEntry>> per_node;
+  per_node.reserve(2 * b);
+  int64_t max_eid = p->cur_e_id - 1;
+  for (int64_t i = 0; i < b; ++i) {
+    int64_t e = e_id ? e_id[i] : p->cur_e_id + i;
+    per_node[dst[i]].push_back({e, src[i], t[i]});   // half 0
+    per_node[src[i]].push_back({e, dst[i], t[i]});   // half 1
+    max_eid = std::max(max_eid, e);
+  }
+  const int32_t K = p->K;
+  // Exactly the numpy algorithm (StreamPacker.insert): per node, the
+  // candidate list is [cache row (current order), new entries in python's
+  // (eid asc, dst-half-before-src-half) per-node order — numpy takes the
+  // last K of that list first, but a full stable desc sort of everything
+  // yields the same top-K], stably sorted by eid desc, keep first K.
+  std::vector<CacheEntry> cand;
+  for (auto& kv : per_node) {
+    int32_t u = kv.first;
+    auto& nw = kv.second;
+    const int64_t base = (int64_t)u * K;
+    cand.clear();
+    cand.reserve(K + nw.size());
+    for (int32_t j = 0; j < K; ++j)
+      cand.push_back({p->cache_eid[base + j], p->cache_nbr[base + j],
+                      p->cache_t[base + j]});
+    // numpy truncates new entries to the last K *before* concatenation
+    // (neighbor_loader.py:88-97 semantics mirrored in StreamPacker);
+    // entries beyond that can never reach the top-K anyway, but the
+    // truncation keeps tie handling identical.
+    int64_t start = std::max<int64_t>(0, (int64_t)nw.size() - K);
+    for (int64_t j = start; j < (int64_t)nw.size(); ++j)
+      cand.push_back(nw[j]);
+    std::stable_sort(cand.begin(), cand.end(),
+                     [](const CacheEntry& a, const CacheEntry& b) {
+                       return a.eid > b.eid;
+                     });
+    for (int32_t j = 0; j < K; ++j) {
+      p->cache_eid[base + j] = cand[j].eid;
+      p->cache_nbr[base + j] = cand[j].nbr;
+      p->cache_t[base + j] = cand[j].t;
+    }
+  }
+  p->cur_e_id = std::max(p->cur_e_id, max_eid + 1);
+}
+
+// Phase 1: compute sizes.  out_sizes = {total_roots, p_exact}.
+void packer_pack_begin(void* h, const int32_t* src, const int32_t* dst,
+                       const float* t, const int64_t* ev_idx,
+                       const int32_t* blocks, const int32_t* neg,
+                       int64_t braw, int64_t m, int32_t eval_mode,
+                       int64_t cap_p, int64_t* out_sizes) {
+  auto* p = static_cast<Packer*>(h);
+  auto& pb = p->pending;
+  pb = PendingBatch();
+  pb.src.assign(src, src + braw);
+  pb.dst.assign(dst, dst + braw);
+  pb.t.assign(t, t + braw);
+  pb.ev_idx.assign(ev_idx, ev_idx + braw);
+  pb.blocks.assign(blocks, blocks + braw);
+  pb.neg.assign(neg, neg + braw * m);
+  pb.braw = braw;
+  pb.M = m;
+  pb.eval_mode = eval_mode;
+  int32_t k = 0;
+  for (int64_t i = 0; i < braw; ++i) k = std::max(k, blocks[i] + 1);
+  pb.k = k;
+
+  // events grouped by block (counting sort — event order preserved)
+  pb.blk_ptr.assign(k + 1, 0);
+  for (int64_t i = 0; i < braw; ++i) ++pb.blk_ptr[blocks[i] + 1];
+  for (int32_t i = 0; i < k; ++i) pb.blk_ptr[i + 1] += pb.blk_ptr[i];
+  pb.ev_by_block.resize(braw);
+  {
+    std::vector<int64_t> cur(pb.blk_ptr.begin(), pb.blk_ptr.end() - 1);
+    for (int64_t i = 0; i < braw; ++i)
+      pb.ev_by_block[cur[blocks[i]]++] = i;
+  }
+
+  // --- per-node intra-batch runs: entries (node, partner, pos) sorted by
+  // (node, pos).  Build via per-node vectors appended in event order.
+  {
+    std::unordered_map<int32_t, std::vector<int64_t>> lists;
+    lists.reserve(2 * braw);
+    for (int64_t i = 0; i < braw; ++i) {
+      lists[src[i]].push_back(i);
+      lists[dst[i]].push_back(i);
+    }
+    // flatten sorted by node id (python lexsort key is (pos, node) ->
+    // primary node asc, secondary pos asc; pos order is append order)
+    std::vector<int32_t> nodes;
+    nodes.reserve(lists.size());
+    for (auto& kv : lists) nodes.push_back(kv.first);
+    std::sort(nodes.begin(), nodes.end());
+    pb.run_pos.reserve(2 * braw);
+    for (int32_t u : nodes) {
+      auto& v = lists[u];
+      pb.run_of[u] = {(int64_t)pb.run_pos.size(),
+                      (int64_t)(pb.run_pos.size() + v.size())};
+      for (int64_t pos : v) {
+        pb.run_pos.push_back(pos);
+        pb.run_partner.push_back(src[pos] == u ? dst[pos] : src[pos]);
+        pb.run_block.push_back(blocks[pos]);
+      }
+    }
+  }
+
+  // --- per-block sorted-unique root sets + slot maps
+  pb.ev_src_slot.assign(braw, 0);
+  pb.ev_pos_slot.assign(braw, 0);
+  pb.ev_neg_slot.assign(braw * m, 0);
+  pb.offsets.assign(1, 0);
+  std::vector<int32_t> scratch;
+  for (int32_t blk = 0; blk < k; ++blk) {
+    scratch.clear();
+    for (int64_t q = pb.blk_ptr[blk]; q < pb.blk_ptr[blk + 1]; ++q) {
+      int64_t i = pb.ev_by_block[q];
+      scratch.push_back(src[i]);
+      scratch.push_back(dst[i]);
+      for (int64_t j = 0; j < m; ++j) scratch.push_back(neg[i * m + j]);
+    }
+    std::sort(scratch.begin(), scratch.end());
+    scratch.erase(std::unique(scratch.begin(), scratch.end()),
+                  scratch.end());
+    int64_t off = pb.offsets.back();
+    for (int64_t q = pb.blk_ptr[blk]; q < pb.blk_ptr[blk + 1]; ++q) {
+      int64_t i = pb.ev_by_block[q];
+      pb.ev_src_slot[i] =
+          off + (std::lower_bound(scratch.begin(), scratch.end(), src[i]) -
+                 scratch.begin());
+      pb.ev_pos_slot[i] =
+          off + (std::lower_bound(scratch.begin(), scratch.end(), dst[i]) -
+                 scratch.begin());
+      for (int64_t j = 0; j < m; ++j) {
+        pb.ev_neg_slot[i * m + j] =
+            off + (std::lower_bound(scratch.begin(), scratch.end(),
+                                    neg[i * m + j]) -
+                   scratch.begin());
+      }
+    }
+    pb.root_nid.insert(pb.root_nid.end(), scratch.begin(), scratch.end());
+    pb.offsets.push_back(off + (int64_t)scratch.size());
+  }
+  pb.total_roots = pb.offsets.back();
+
+  // --- intra counts per root slot
+  pb.intra_counts.assign(pb.total_roots, 0);
+  int64_t p_exact = 0;
+  for (int32_t blk = 0; blk < k; ++blk) {
+    for (int64_t s2 = pb.offsets[blk]; s2 < pb.offsets[blk + 1]; ++s2) {
+      auto it = pb.run_of.find(pb.root_nid[s2]);
+      if (it == pb.run_of.end()) continue;
+      auto [a, b2] = it->second;
+      // count entries with block < blk (blocks asc within the run)
+      const int32_t* beg = pb.run_block.data() + a;
+      const int32_t* end = pb.run_block.data() + b2;
+      int64_t cnt = std::lower_bound(beg, end, blk) - beg;
+      pb.intra_counts[s2] = (int32_t)cnt;
+      p_exact = std::max(p_exact, cnt);
+    }
+  }
+  if (cap_p >= 0) p_exact = std::min(p_exact, cap_p);
+  pb.p_exact = p_exact;
+
+  // --- memory read set: roots ∪ valid cache neighbors of roots (cache is
+  // still pre-batch state here: inserts happen at the end of fill).
+  // Dedup via the loc_of marker array before sorting (roots repeat across
+  // blocks; cache neighbors repeat heavily).
+  pb.uniq.clear();
+  auto mark = [&](int32_t v) {
+    if (p->loc_of[v] < 0) {
+      p->loc_of[v] = 0;
+      pb.uniq.push_back(v);
+    }
+  };
+  for (int32_t v : pb.root_nid) mark(v);
+  for (int64_t s2 = 0; s2 < pb.total_roots; ++s2) {
+    const int64_t base = (int64_t)pb.root_nid[s2] * p->K;
+    for (int32_t j = 0; j < p->K; ++j)
+      if (p->cache_eid[base + j] >= 0)
+        mark(p->cache_nbr[base + j]);
+  }
+  std::sort(pb.uniq.begin(), pb.uniq.end());
+  // loc_of now maps node -> uniq index until pack_fill resets it
+  for (int64_t i = 0; i < (int64_t)pb.uniq.size(); ++i)
+    p->loc_of[pb.uniq[i]] = (int32_t)i;
+
+  out_sizes[0] = pb.total_roots;
+  out_sizes[1] = p_exact;
+  out_sizes[2] = (int64_t)pb.uniq.size();
+}
+
+// Phase 2: fill python-allocated output buffers (bucketed shapes) and
+// advance state (clocks during fill; cache/mail_ptr if insert != 0).
+void packer_pack_fill(
+    void* h, int64_t b_bucket, int64_t r_bucket, int64_t p_bucket,
+    int32_t insert,
+    // event outputs (B,)
+    int32_t* ev_src, int32_t* ev_dst, float* ev_t, int32_t* ev_idx_out,
+    uint8_t* ev_valid, int32_t* ev_neg,
+    // root outputs (R,)
+    int32_t* root_nid, uint8_t* root_valid,
+    // grid outputs (R, Kp)
+    int32_t* nbr_nid, float* nbr_dt, int8_t* nbr_kind, int32_t* nbr_feat,
+    // slot maps
+    int32_t* ev_src_slot, int32_t* ev_pos_slot, int32_t* ev_neg_slot,
+    // memory support
+    int64_t u_bucket, int32_t* uniq_nid, int32_t* root_loc,
+    int32_t* nbr_loc,
+    int32_t* mw_node, int32_t* mw_slot, int32_t* mw_partner, float* mw_t,
+    int32_t* mw_eid) {
+  auto* p = static_cast<Packer*>(h);
+  auto& pb = p->pending;
+  const int32_t K = p->K;
+  const int64_t braw = pb.braw, M = pb.M;
+  const int64_t Kp = K + 1 + p_bucket;
+  const int64_t P = pb.p_exact;  // capped exact, <= p_bucket
+
+  constexpr int8_t KIND_INVALID = 0, KIND_CACHE = 1, KIND_INTRA = 2,
+                   KIND_SELF = 3;
+
+  // zero/initialize outputs
+  std::memset(nbr_nid, 0, sizeof(int32_t) * r_bucket * Kp);
+  std::memset(nbr_dt, 0, sizeof(float) * r_bucket * Kp);
+  std::memset(nbr_kind, 0, sizeof(int8_t) * r_bucket * Kp);
+  std::memset(nbr_feat, 0, sizeof(int32_t) * r_bucket * Kp);
+  std::memset(root_nid, 0, sizeof(int32_t) * r_bucket);
+  std::memset(root_valid, 0, sizeof(uint8_t) * r_bucket);
+
+  // --- per-block clock updates + grid fill
+  for (int32_t blk = 0; blk < pb.k; ++blk) {
+    // clocks: neg -> dst -> src, last-write-wins in flat order
+    const int64_t qlo = pb.blk_ptr[blk], qhi = pb.blk_ptr[blk + 1];
+    if (pb.eval_mode) {
+      float mx = -1e30f;
+      for (int64_t q = qlo; q < qhi; ++q)
+        mx = std::max(mx, pb.t[pb.ev_by_block[q]]);
+      if (qhi > qlo) std::fill(p->clock.begin(), p->clock.end(), mx);
+    } else {
+      for (int64_t q = qlo; q < qhi; ++q) {
+        int64_t i = pb.ev_by_block[q];
+        for (int64_t j = 0; j < M; ++j)
+          p->clock[pb.neg[i * M + j]] = pb.t[i];
+      }
+    }
+    for (int64_t q = qlo; q < qhi; ++q) {
+      int64_t i = pb.ev_by_block[q];
+      p->clock[pb.dst[i]] = pb.t[i];
+    }
+    for (int64_t q = qlo; q < qhi; ++q) {
+      int64_t i = pb.ev_by_block[q];
+      p->clock[pb.src[i]] = pb.t[i];
+    }
+
+    for (int64_t s2 = pb.offsets[blk]; s2 < pb.offsets[blk + 1]; ++s2) {
+      int32_t u = pb.root_nid[s2];
+      int64_t row = s2 * Kp;
+      const int64_t base = (int64_t)u * K;
+      for (int32_t j = 0; j < K; ++j) {
+        int64_t e = p->cache_eid[base + j];
+        if (e >= 0) {
+          int32_t nb = p->cache_nbr[base + j];
+          nbr_nid[row + j] = nb;
+          nbr_kind[row + j] = KIND_CACHE;
+          nbr_feat[row + j] = (int32_t)e;
+          nbr_dt[row + j] = p->cache_t[base + j] - p->clock[nb];
+        }
+      }
+      // self loop
+      nbr_nid[row + K] = u;
+      nbr_kind[row + K] = KIND_SELF;
+      nbr_dt[row + K] = 0.0f - p->clock[u];
+      // intra-batch predecessors (most recent P when capped)
+      int64_t full = pb.intra_counts[s2];
+      if (full > 0 && P > 0) {
+        auto [a, b2] = pb.run_of[u];
+        int64_t take = std::min<int64_t>(full, P);
+        int64_t lo = a + full - take;
+        for (int64_t q = 0; q < take; ++q) {
+          int64_t pos = pb.run_pos[lo + q];
+          int32_t partner = pb.run_partner[lo + q];
+          int64_t col = K + 1 + q;
+          nbr_nid[row + col] = partner;
+          nbr_kind[row + col] = KIND_INTRA;
+          nbr_feat[row + col] = (int32_t)pb.ev_idx[pos];
+          nbr_dt[row + col] = pb.t[pos] - p->clock[partner];
+        }
+      }
+      root_nid[s2] = u;
+      root_valid[s2] = 1;
+    }
+  }
+
+  // --- event padding
+  for (int64_t i = 0; i < b_bucket; ++i) {
+    bool v = i < braw;
+    ev_src[i] = v ? pb.src[i] : 0;
+    ev_dst[i] = v ? pb.dst[i] : 0;
+    ev_t[i] = v ? pb.t[i] : 0.0f;
+    ev_idx_out[i] = v ? (int32_t)pb.ev_idx[i] : 0;
+    ev_valid[i] = v ? 1 : 0;
+    ev_src_slot[i] = v ? (int32_t)pb.ev_src_slot[i] : 0;
+    ev_pos_slot[i] = v ? (int32_t)pb.ev_pos_slot[i] : 0;
+    for (int64_t j = 0; j < M; ++j) {
+      ev_neg[i * M + j] = v ? pb.neg[i * M + j] : 0;
+      ev_neg_slot[i * M + j] = v ? (int32_t)pb.ev_neg_slot[i * M + j] : 0;
+    }
+  }
+
+  // --- uniq set + loc maps (uniq + loc_of prepared in pack_begin)
+  {
+    const std::vector<int32_t>& uniq = pb.uniq;
+    int64_t U = (int64_t)uniq.size();
+    for (int64_t i = 0; i < u_bucket; ++i)
+      uniq_nid[i] = i < U ? uniq[i] : (int32_t)p->N;
+    const int32_t pad_loc = (int32_t)(u_bucket - 1);
+    for (int64_t i = 0; i < r_bucket * Kp; ++i) nbr_loc[i] = pad_loc;
+    for (int64_t r = 0; r < r_bucket; ++r)
+      root_loc[r] = r < pb.total_roots ? p->loc_of[pb.root_nid[r]]
+                                       : pad_loc;
+    for (int64_t r = 0; r < pb.total_roots; ++r) {
+      int64_t row = r * Kp;
+      for (int64_t c = 0; c < Kp; ++c)
+        if (nbr_kind[row + c] != KIND_INVALID)
+          nbr_loc[row + c] = p->loc_of[nbr_nid[row + c]];
+    }
+    // release the scratch marker
+    for (int32_t v : uniq) p->loc_of[v] = -1;
+  }
+
+  // --- mailbox write plan: per node last-S event-direction writes
+  {
+    const int32_t S = p->S;
+    const int64_t W = 2 * b_bucket;
+    for (int64_t i = 0; i < W; ++i) {
+      mw_node[i] = (int32_t)p->N;
+      mw_slot[i] = 0;
+      mw_partner[i] = 0;
+      mw_t[i] = 0.0f;
+      mw_eid[i] = 0;
+    }
+    std::unordered_map<int32_t, std::vector<int64_t>> writes;  // positions
+    writes.reserve(2 * braw);
+    for (int64_t i = 0; i < braw; ++i) {
+      writes[pb.src[i]].push_back(2 * i);
+      writes[pb.dst[i]].push_back(2 * i + 1);
+    }
+    for (auto& kv : writes) {
+      int32_t u = kv.first;
+      auto& v = kv.second;
+      int64_t kept = std::min<int64_t>((int64_t)v.size(), S);
+      int64_t start = (int64_t)v.size() - kept;
+      int64_t ptr = p->mail_ptr[u];
+      for (int64_t q = 0; q < kept; ++q) {
+        int64_t w = v[start + q];
+        int64_t ev = w / 2;
+        mw_node[w] = u;
+        mw_slot[w] = (int32_t)((ptr + q) % S);
+        mw_partner[w] = (w % 2 == 0) ? pb.dst[ev] : pb.src[ev];
+        mw_t[w] = pb.t[ev];
+        mw_eid[w] = (int32_t)pb.ev_idx[ev];
+      }
+      if (insert) p->mail_ptr[u] = (ptr + kept) % S;
+    }
+  }
+
+  if (insert) {
+    packer_insert(h, pb.src.data(), pb.dst.data(), pb.t.data(),
+                  pb.ev_idx.data(), braw);
+  }
+  pb = PendingBatch();
+}
+
+}  // extern "C"

@@ -16,11 +16,12 @@ import sys
 def build(verbose: bool = True) -> str:
     here = os.path.dirname(os.path.abspath(__file__))
     csrc = os.path.join(here, "..", "csrc")
-    src = os.path.join(csrc, "hostops.cpp")
+    srcs = [os.path.join(csrc, "hostops.cpp"),
+            os.path.join(csrc, "packer.cpp")]
     out = os.path.join(csrc, "libhostops.so")
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-pthread", "-o", out, src,
+        "-pthread", "-o", out, *srcs,
     ]
     if verbose:
         print(" ".join(cmd))
@@ -33,11 +34,13 @@ def build_if_needed() -> bool:
     availability.  Never raises — callers fall back to numpy."""
     here = os.path.dirname(os.path.abspath(__file__))
     csrc = os.path.join(here, "..", "csrc")
-    src = os.path.join(csrc, "hostops.cpp")
+    srcs = [os.path.join(csrc, "hostops.cpp"),
+            os.path.join(csrc, "packer.cpp")]
     out = os.path.join(csrc, "libhostops.so")
     try:
         if (not os.path.exists(out)
-                or os.path.getmtime(out) < os.path.getmtime(src)):
+                or any(os.path.getmtime(out) < os.path.getmtime(s)
+                       for s in srcs)):
             build(verbose=False)
         return True
     except Exception:

@@ -1,0 +1,247 @@
+"""NativeStreamPacker — ctypes wrapper over csrc/packer.cpp.
+
+Drop-in replacement for data/packer.py::StreamPacker (same constructor,
+same ``pack``/``insert``/``reset_cache``/``snapshot``/``restore`` API,
+bit-identical Pack outputs — tests/test_native_packer.py), with the host
+hot loops in C++.  The numpy packer remains the oracle and the fallback
+when the native library is unavailable.
+"""
+from __future__ import annotations
+
+import ctypes
+from typing import Optional
+
+import numpy as np
+
+from . import hostops
+from .packer import (Pack, PackerConfig, _bucket_p, _bucket_pow2)
+
+_DECLARED = False
+
+
+def _lib():
+    lib = hostops._load()
+    if lib is None:
+        return None
+    global _DECLARED
+    if not _DECLARED:
+        i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        c = ctypes
+        lib.packer_new.argtypes = [c.c_int64, c.c_int32, c.c_int32]
+        lib.packer_new.restype = c.c_void_p
+        lib.packer_free.argtypes = [c.c_void_p]
+        lib.packer_reset.argtypes = [c.c_void_p]
+        lib.packer_get_state.argtypes = [c.c_void_p, i32p, i64p, f32p, f32p,
+                                         i64p, c.POINTER(c.c_int64)]
+        lib.packer_set_state.argtypes = [c.c_void_p, i32p, i64p, f32p, f32p,
+                                         i64p, c.c_int64]
+        lib.packer_insert.argtypes = [c.c_void_p, i32p, i32p, f32p, i64p,
+                                      c.c_int64]
+        lib.packer_pack_begin.argtypes = [
+            c.c_void_p, i32p, i32p, f32p, i64p, i32p, i32p,
+            c.c_int64, c.c_int64, c.c_int32, c.c_int64, i64p]
+        lib.packer_pack_fill.argtypes = [
+            c.c_void_p, c.c_int64, c.c_int64, c.c_int64, c.c_int32,
+            i32p, i32p, f32p, i32p, u8p, i32p,          # events
+            i32p, u8p,                                   # roots
+            i32p, f32p, i8p, i32p,                       # grid
+            i32p, i32p, i32p,                            # slot maps
+            c.c_int64, i32p, i32p, i32p,                 # uniq/locs
+            i32p, i32p, i32p, f32p, i32p]                # write plan
+        _DECLARED = True
+    return lib
+
+
+def available() -> bool:
+    return _lib() is not None and hasattr(_lib(), "packer_new")
+
+
+class NativeStreamPacker:
+    """API-compatible with StreamPacker; state lives in C++."""
+
+    def __init__(self, num_nodes: int, cfg: PackerConfig):
+        lib = _lib()
+        assert lib is not None, "libhostops.so not built"
+        self._lib = lib
+        self.N = num_nodes
+        self.cfg = cfg
+        self._h = lib.packer_new(num_nodes, cfg.num_neighbors,
+                                 cfg.mailbox_size)
+        self._rng = np.random.default_rng(cfg.seed)
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.packer_free(h)
+            self._h = None
+
+    # ------------------------------------------------------------- state
+    def reset_cache(self) -> None:
+        self._lib.packer_reset(self._h)
+
+    def _get_state(self):
+        K = self.cfg.num_neighbors
+        nbr = np.empty((self.N, K), np.int32)
+        eid = np.empty((self.N, K), np.int64)
+        t = np.empty((self.N, K), np.float32)
+        clock = np.empty(self.N, np.float32)
+        ptr = np.empty(self.N, np.int64)
+        cur = ctypes.c_int64()
+        self._lib.packer_get_state(self._h, nbr, eid, t, clock, ptr,
+                                   ctypes.byref(cur))
+        return nbr, eid, t, clock, cur.value, ptr
+
+    def _set_state(self, nbr, eid, t, clock, cur, ptr):
+        self._lib.packer_set_state(
+            self._h, np.ascontiguousarray(nbr, np.int32),
+            np.ascontiguousarray(eid, np.int64),
+            np.ascontiguousarray(t, np.float32),
+            np.ascontiguousarray(clock, np.float32),
+            np.ascontiguousarray(ptr, np.int64), int(cur))
+
+    # StreamPacker-compatible state views (checkpointing reads these)
+    @property
+    def cache_nbr(self):
+        return self._get_state()[0]
+
+    @property
+    def cache_eid(self):
+        return self._get_state()[1]
+
+    @property
+    def cache_t(self):
+        return self._get_state()[2]
+
+    @property
+    def clock(self):
+        return self._get_state()[3]
+
+    @property
+    def cur_e_id(self):
+        return self._get_state()[4]
+
+    @property
+    def mail_ptr(self):
+        return self._get_state()[5]
+
+    def load_state(self, cache_nbr, cache_eid, cache_t, clock, cur_e_id,
+                   mail_ptr) -> None:
+        self._set_state(cache_nbr, cache_eid, cache_t, clock, cur_e_id,
+                        mail_ptr)
+
+    def snapshot(self):
+        s = self._get_state()
+        return (s[0], s[1], s[2], s[3], s[4], s[5])
+
+    def restore(self, snap) -> None:
+        self._set_state(snap[0], snap[1], snap[2], snap[3], snap[4], snap[5])
+
+    def insert(self, src, dst, t, e_id=None) -> None:
+        b = len(src)
+        if b == 0:
+            return
+        if e_id is None:
+            e_id = self.cur_e_id + np.arange(b, dtype=np.int64)
+        self._lib.packer_insert(
+            self._h, np.ascontiguousarray(src, np.int32),
+            np.ascontiguousarray(dst, np.int32),
+            np.ascontiguousarray(t, np.float32),
+            np.ascontiguousarray(e_id, np.int64), b)
+
+    # -------------------------------------------------------------- pack
+    def pack(self, src, dst, t, ev_idx, blocks, neg,
+             eval_mode: bool = False, insert: bool = True) -> Pack:
+        cfg = self.cfg
+        lib = self._lib
+        K = cfg.num_neighbors
+        Braw = len(src)
+        B = cfg.batch_size
+        src = np.ascontiguousarray(src, np.int32)
+        dst = np.ascontiguousarray(dst, np.int32)
+        t = np.ascontiguousarray(t, np.float32)
+        ev_idx64 = np.ascontiguousarray(ev_idx, np.int64)
+        blocks = np.ascontiguousarray(blocks, np.int32)
+        neg = np.asarray(neg, np.int32)
+        neg2d = np.ascontiguousarray(neg.reshape(Braw, -1))
+        M = neg2d.shape[1]
+        cap_p = -1 if cfg.max_intra_block is None else cfg.max_intra_block
+
+        sizes = np.zeros(3, np.int64)
+        lib.packer_pack_begin(self._h, src, dst, t, ev_idx64, blocks,
+                              neg2d, Braw, M, int(eval_mode), cap_p, sizes)
+        total_roots, p_exact, U = int(sizes[0]), int(sizes[1]), int(sizes[2])
+        P = _bucket_p(p_exact)
+        Kp = K + 1 + P
+        R = _bucket_pow2(max(total_roots, 1), cfg.root_bucket_lo)
+        Ub = _bucket_pow2(U + 1, cfg.root_bucket_lo)
+
+        ev_src = np.empty(B, np.int32)
+        ev_dst = np.empty(B, np.int32)
+        ev_t = np.empty(B, np.float32)
+        ev_idx_out = np.empty(B, np.int32)
+        ev_valid = np.empty(B, np.uint8)
+        ev_neg = np.empty((B, M), np.int32)
+        root_nid = np.empty(R, np.int32)
+        root_valid = np.empty(R, np.uint8)
+        nbr_nid = np.empty((R, Kp), np.int32)
+        nbr_dt = np.empty((R, Kp), np.float32)
+        nbr_kind = np.empty((R, Kp), np.int8)
+        nbr_feat = np.empty((R, Kp), np.int32)
+        ev_src_slot = np.empty(B, np.int32)
+        ev_pos_slot = np.empty(B, np.int32)
+        ev_neg_slot = np.empty((B, M), np.int32)
+        uniq_nid = np.empty(Ub, np.int32)
+        root_loc = np.empty(R, np.int32)
+        nbr_loc = np.empty((R, Kp), np.int32)
+        W = 2 * B
+        mw_node = np.empty(W, np.int32)
+        mw_slot = np.empty(W, np.int32)
+        mw_partner = np.empty(W, np.int32)
+        mw_t = np.empty(W, np.float32)
+        mw_eid = np.empty(W, np.int32)
+
+        lib.packer_pack_fill(
+            self._h, B, R, P, int(insert),
+            ev_src, ev_dst, ev_t, ev_idx_out, ev_valid, ev_neg,
+            root_nid, root_valid,
+            nbr_nid, nbr_dt, nbr_kind, nbr_feat,
+            ev_src_slot, ev_pos_slot, ev_neg_slot,
+            Ub, uniq_nid, root_loc, nbr_loc,
+            mw_node, mw_slot, mw_partner, mw_t, mw_eid)
+
+        k = int(blocks.max()) + 1 if Braw else 0
+        return Pack(
+            ev_src=ev_src, ev_dst=ev_dst, ev_t=ev_t, ev_idx=ev_idx_out,
+            ev_valid=ev_valid.astype(bool),
+            ev_neg=ev_neg if M > 1 else ev_neg[:, 0],
+            root_nid=root_nid, root_valid=root_valid.astype(bool),
+            nbr_nid=nbr_nid, nbr_dt=nbr_dt, nbr_kind=nbr_kind,
+            nbr_feat=nbr_feat,
+            ev_src_slot=ev_src_slot, ev_pos_slot=ev_pos_slot,
+            ev_neg_slot=ev_neg_slot if M > 1 else ev_neg_slot[:, 0],
+            uniq_nid=uniq_nid, root_loc=root_loc, nbr_loc=nbr_loc,
+            mw_node=mw_node, mw_slot=mw_slot, mw_partner=mw_partner,
+            mw_t=mw_t, mw_eid=mw_eid,
+            num_blocks=k,
+            num_real_events=Braw,
+            num_real_roots=total_roots,
+        )
+
+    @property
+    def shapes_key(self):
+        return (self.cfg.batch_size, self.cfg.num_neighbors)
+
+
+def make_stream_packer(num_nodes: int, cfg: PackerConfig,
+                       prefer_native: bool = True):
+    """Factory: native when built, numpy otherwise."""
+    from .build_hostops import build_if_needed
+    from .packer import StreamPacker
+
+    if prefer_native and build_if_needed() and available():
+        return NativeStreamPacker(num_nodes, cfg)
+    return StreamPacker(num_nodes, cfg)

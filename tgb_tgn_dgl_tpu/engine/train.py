@@ -26,6 +26,7 @@ import optax
 
 from ..data.dataset import TemporalData
 from ..data.dependency import dependency_aware_batch
+from ..data.native_packer import make_stream_packer
 from ..data.packer import DevicePack, Pack, PackerConfig, StreamPacker
 from ..models.memory import (MemoryModelConfig, apply_mail, commit,
                              init_memory_params, init_memory_state)
@@ -61,7 +62,7 @@ class Engine:
             compute_dtype=jnp.bfloat16 if tr.compute_dtype == "bfloat16"
             else jnp.float32,
         )
-        self.packer = StreamPacker(data.num_nodes, PackerConfig(
+        self.packer = make_stream_packer(data.num_nodes, PackerConfig(
             num_neighbors=config.sampling.num_neighbors,
             batch_size=tr.batch_size,
             max_intra_block=tr.max_intra_block,
@@ -220,7 +221,10 @@ class Engine:
             self.mem_state = init_memory_state(self.mem_cfg)
         total_loss = 0.0
         total = 0
-        aps, aucs = [], []
+        outs = []  # (loss, pos, neg, n) device futures — jax dispatch is
+        # async, so deferring the host reads here lets the CPU pack batch
+        # i+1 while the TPU executes batch i (the host packer and the
+        # device step are the two halves of the pipeline)
         for lo, hi, rows, blk in self._iter_batches("train"):
             src, dst, t = d.src[rows], d.dst[rows], d.t[rows]
             neg = self.neg_sampler.sample(dst)
@@ -237,7 +241,10 @@ class Engine:
                 self.params, self.opt_state, loss, pos, neg_out = \
                     self._train_step(self.params, self.opt_state,
                                      self.memory, self.feats, dev, sk)
-            n = hi - lo
+            outs.append((loss, pos, neg_out, hi - lo))
+            self._step += 1
+        aps, aucs = [], []
+        for loss, pos, neg_out, n in outs:
             total_loss += float(loss) * n
             total += n
             pos_np = np.asarray(pos)[:n]
@@ -246,7 +253,6 @@ class Engine:
             y_true = np.concatenate([np.ones(n), np.zeros(n)])
             aps.append(average_precision(y_true, y_score))
             aucs.append(roc_auc(y_true, y_score))
-            self._step += 1
         return {"loss": total_loss, "ap": float(np.mean(aps)),
                 "auc": float(np.mean(aucs)), "events": total}
 
@@ -256,7 +262,7 @@ class Engine:
         if ns is None:
             raise ValueError(f"no fixed negatives for split '{split}'")
         fixed = FixedNegatives(ns, mode=self.config.train.eval_neg_mode)
-        perf = []
+        outs = []  # deferred device reads — same pipelining as train_epoch
         for lo, hi, rows, blk in self._iter_batches(split):
             src, dst, t = d.src[rows], d.dst[rows], d.t[rows]
             neg, _mask = fixed.query_batch(lo, hi)
@@ -268,7 +274,9 @@ class Engine:
             else:
                 pos, negs = self._eval_fwd(self.params, self.memory,
                                            self.feats, pack.device())
-            n = hi - lo
+            outs.append((pos, negs, hi - lo))
+        perf = []
+        for pos, negs, n in outs:
             res = self.evaluator.eval({
                 "y_pred_pos": np.asarray(pos)[:n],
                 "y_pred_neg": np.asarray(negs)[:n],
@@ -366,11 +374,17 @@ class Engine:
         self.neg_sampler.rng = rng_state_from_array(st["neg_rng"])
         self._step = int(st["step"])
         pk = st["packer"]
-        self.packer.cache_nbr = np.asarray(pk["cache_nbr"])
-        self.packer.cache_eid = np.asarray(pk["cache_eid"])
-        self.packer.cache_t = np.asarray(pk["cache_t"])
-        self.packer.clock = np.asarray(pk["clock"])
-        self.packer.cur_e_id = int(pk["cur_e_id"])
-        self.packer.mail_ptr = np.asarray(pk["mail_ptr"])
+        if hasattr(self.packer, "load_state"):     # native packer
+            self.packer.load_state(
+                np.asarray(pk["cache_nbr"]), np.asarray(pk["cache_eid"]),
+                np.asarray(pk["cache_t"]), np.asarray(pk["clock"]),
+                int(pk["cur_e_id"]), np.asarray(pk["mail_ptr"]))
+        else:
+            self.packer.cache_nbr = np.asarray(pk["cache_nbr"])
+            self.packer.cache_eid = np.asarray(pk["cache_eid"])
+            self.packer.cache_t = np.asarray(pk["cache_t"])
+            self.packer.clock = np.asarray(pk["clock"])
+            self.packer.cur_e_id = int(pk["cur_e_id"])
+            self.packer.mail_ptr = np.asarray(pk["mail_ptr"])
         if self.use_memory:
             self.mem_state = jax.tree.map(jnp.asarray, st["mem_state"])
