@@ -64,9 +64,13 @@ def main():
             neg = engine.neg_sampler.sample(dst)
             pack = engine.packer.pack(src, dst, t, rows, blk, neg)
             engine._rng, sk = jax.random.split(engine._rng)
+            from tgb_tgn_dgl_tpu.ops.wire import pack_to_wire
+            K = engine.config.sampling.num_neighbors
+            wire = pack_to_wire(pack, K)
+            iw = pack.nbr_kind.shape[1] - K - 1
             out = engine._train_step(engine.params, engine.opt_state,
                                      engine.memory, engine.feats,
-                                     pack.device(), sk)
+                                     wire, sk, iw)
             engine.params, engine.opt_state = out[0], out[1]
             done += 1
             i += 1

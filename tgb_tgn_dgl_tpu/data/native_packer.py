@@ -174,7 +174,8 @@ class NativeStreamPacker:
         lib.packer_pack_begin(self._h, src, dst, t, ev_idx64, blocks,
                               neg2d, Braw, M, int(eval_mode), cap_p, sizes)
         total_roots, p_exact, U = int(sizes[0]), int(sizes[1]), int(sizes[2])
-        P = _bucket_p(p_exact)
+        P = (cfg.max_intra_block if cfg.max_intra_block is not None
+             else _bucket_p(p_exact))
         Kp = K + 1 + P
         R = _bucket_pow2(max(total_roots, 1), cfg.root_bucket_lo)
         Ub = _bucket_pow2(U + 1, cfg.root_bucket_lo)

@@ -312,8 +312,12 @@ class StreamPacker:
                 intra_counts[off + j] = cnt
         P_exact = int(intra_counts.max()) if total_roots else 0
         if cfg.max_intra_block is not None:
+            # fixed grid width: every batch compiles to the same bucket
+            # (per-batch pow2 widths caused one XLA compile per width)
             P_exact = min(P_exact, cfg.max_intra_block)
-        P = _bucket_p(P_exact)
+            P = cfg.max_intra_block
+        else:
+            P = _bucket_p(P_exact)
         Kp = K + 1 + P
         R = _bucket_pow2(max(total_roots, 1), cfg.root_bucket_lo)
 

@@ -31,6 +31,7 @@ from ..data.packer import DevicePack, Pack, PackerConfig, StreamPacker
 from ..models.memory import (MemoryModelConfig, apply_mail, commit,
                              init_memory_params, init_memory_state)
 from ..models.tgnn import TGNNConfig, bce_loss, init_tgnn, tgnn_forward
+from ..ops.wire import expand_wire, pack_to_wire
 from ..utils.config import FrameworkConfig
 from .checkpoint import (EarlyStopMonitor, load_pytree, rng_state_from_array,
                          rng_state_to_array, save_pytree)
@@ -116,14 +117,22 @@ class Engine:
         self._eval_fwd = self._build_eval_forward()
 
     # ------------------------------------------------------------ builders
+    # The device steps take a compact WirePack and rebuild the padded
+    # grids on device (ops/wire.py) — host→device traffic is the wall
+    # once the packer is native.  intra_width is static per shape bucket.
     def _build_train_step(self):
         model_cfg = self.model_cfg
         optimizer = self.optimizer
+        K = self.config.sampling.num_neighbors
+        N = self.data.num_nodes
 
         if self.use_memory:
             mem_cfg = self.mem_cfg
 
-            def step(params, opt_state, mem_state, feats, pack, rng):
+            def step(params, opt_state, mem_state, feats, wire, rng,
+                     intra_width):
+                pack = expand_wire(wire, K, intra_width, N)
+
                 def loss_fn(p):
                     mem_rows, lu_rows = apply_mail(
                         p["memory"], mem_cfg, mem_state, pack.uniq_nid,
@@ -146,10 +155,13 @@ class Engine:
                 return params, opt_state, mem_state, loss, pos, neg
 
             if self._jit:
-                return jax.jit(step, donate_argnums=(0, 1, 2))
+                return jax.jit(step, donate_argnums=(0, 1, 2),
+                               static_argnums=(6,))
             return step
 
-        def step(params, opt_state, memory, feats, pack, rng):
+        def step(params, opt_state, memory, feats, wire, rng, intra_width):
+            pack = expand_wire(wire, K, intra_width, N)
+
             def loss_fn(p):
                 pos, neg = tgnn_forward(p, model_cfg, memory, feats, pack,
                                         train=True, rng=rng)
@@ -162,16 +174,19 @@ class Engine:
             return params, opt_state, loss, pos, neg
 
         if self._jit:
-            return jax.jit(step, donate_argnums=(0, 1))
+            return jax.jit(step, donate_argnums=(0, 1), static_argnums=(6,))
         return step
 
     def _build_eval_forward(self):
         model_cfg = self.model_cfg
+        K = self.config.sampling.num_neighbors
+        N = self.data.num_nodes
 
         if self.use_memory:
             mem_cfg = self.mem_cfg
 
-            def fwd(params, mem_state, feats, pack):
+            def fwd(params, mem_state, feats, wire, intra_width):
+                pack = expand_wire(wire, K, intra_width, N)
                 mem_rows, lu_rows = apply_mail(
                     params["memory"], mem_cfg, mem_state, pack.uniq_nid,
                     feats)
@@ -183,13 +198,16 @@ class Engine:
                                    pack.mw_t, pack.mw_eid)
                 return pos, neg, mem_state
 
-            return jax.jit(fwd, donate_argnums=(1,)) if self._jit else fwd
+            if self._jit:
+                return jax.jit(fwd, donate_argnums=(1,), static_argnums=(4,))
+            return fwd
 
-        def fwd(params, memory, feats, pack):
+        def fwd(params, memory, feats, wire, intra_width):
+            pack = expand_wire(wire, K, intra_width, N)
             return tgnn_forward(params, model_cfg, memory, feats, pack,
                                 train=False)
 
-        return jax.jit(fwd) if self._jit else fwd
+        return jax.jit(fwd, static_argnums=(4,)) if self._jit else fwd
 
     # ------------------------------------------------------------- batching
     def blocks_for(self, split: str) -> np.ndarray:
@@ -231,16 +249,18 @@ class Engine:
             pack = self.packer.pack(src, dst, t, rows, blk, neg,
                                     eval_mode=False)
             self._rng, sk = jax.random.split(self._rng)
-            dev = pack.device()
+            K = self.config.sampling.num_neighbors
+            wire = pack_to_wire(pack, K)
+            iw = pack.nbr_kind.shape[1] - K - 1
             if self.use_memory:
                 (self.params, self.opt_state, self.mem_state, loss, pos,
                  neg_out) = self._train_step(
                     self.params, self.opt_state, self.mem_state,
-                    self.feats, dev, sk)
+                    self.feats, wire, sk, iw)
             else:
                 self.params, self.opt_state, loss, pos, neg_out = \
                     self._train_step(self.params, self.opt_state,
-                                     self.memory, self.feats, dev, sk)
+                                     self.memory, self.feats, wire, sk, iw)
             outs.append((loss, pos, neg_out, hi - lo))
             self._step += 1
         aps, aucs = [], []
@@ -268,12 +288,15 @@ class Engine:
             neg, _mask = fixed.query_batch(lo, hi)
             pack = self.packer.pack(src, dst, t, rows, blk, neg,
                                     eval_mode=True)
+            K = self.config.sampling.num_neighbors
+            wire = pack_to_wire(pack, K)
+            iw = pack.nbr_kind.shape[1] - K - 1
             if self.use_memory:
                 pos, negs, self.mem_state = self._eval_fwd(
-                    self.params, self.mem_state, self.feats, pack.device())
+                    self.params, self.mem_state, self.feats, wire, iw)
             else:
                 pos, negs = self._eval_fwd(self.params, self.memory,
-                                           self.feats, pack.device())
+                                           self.feats, wire, iw)
             outs.append((pos, negs, hi - lo))
         perf = []
         for pos, negs, n in outs:
