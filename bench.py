@@ -34,9 +34,6 @@ def main():
     from tgb_tgn_dgl_tpu.engine.train import Engine
     from tgb_tgn_dgl_tpu.utils.config import parse_config_dict
 
-    warm_batches = int(os.environ.get("BENCH_WARM_BATCHES", "20"))
-    measure_batches = int(os.environ.get("BENCH_MEASURE_BATCHES", "30"))
-
     data = synthetic("tgbl-wiki")
     config = parse_config_dict({
         "sampling": [{"neighbor": [10], "num_thread": os.cpu_count()}],
@@ -45,44 +42,20 @@ def main():
                    "compute_dtype": "bfloat16"}],
     })
     engine = Engine(data, config)
-    d = engine.data
 
-    # Precompute per-batch host work lists once (dependency blocks are
-    # one-time preprocessing in the reference too, utils.py:55-57).
-    batches = list(engine._iter_batches("train"))
+    # Precompute dependency blocks (one-time preprocessing in the
+    # reference too, utils.py:55-57) outside the timed region.
+    engine.blocks_for("train")
 
-    def run(n, t_budget=None):
-        """Run n train batches end-to-end, return (events, seconds)."""
-        done = 0
-        t0 = time.perf_counter()
-        i = 0
-        while done < n:
-            lo, hi, rows, blk = batches[i % len(batches)]
-            if i % len(batches) == 0:
-                engine.packer.reset_cache()
-            src, dst, t = d.src[rows], d.dst[rows], d.t[rows]
-            neg = engine.neg_sampler.sample(dst)
-            pack = engine.packer.pack(src, dst, t, rows, blk, neg)
-            engine._rng, sk = jax.random.split(engine._rng)
-            from tgb_tgn_dgl_tpu.ops.wire import pack_to_wire
-            K = engine.config.sampling.num_neighbors
-            wire = pack_to_wire(pack, K)
-            iw = pack.nbr_kind.shape[1] - K - 1
-            out = engine._train_step(engine.params, engine.opt_state,
-                                     engine.memory, engine.feats,
-                                     wire, sk, iw)
-            engine.params, engine.opt_state = out[0], out[1]
-            done += 1
-            i += 1
-            if t_budget and time.perf_counter() - t0 > t_budget:
-                break
-        jax.block_until_ready(engine.params)
-        return done, time.perf_counter() - t0
-
-    # Warmup: trigger compilation for the shape buckets.
-    run(warm_batches, t_budget=300)
-    n, secs = run(measure_batches, t_budget=240)
-    events = n * config.train.batch_size
+    # Warmup epoch: compiles every shape bucket of the train cycle.
+    engine.train_epoch()
+    # Measured epoch: the REAL engine loop (prefetch-pipelined host
+    # packing + wire transfer + device step + Adam + epoch metrics).
+    t0 = time.perf_counter()
+    stats = engine.train_epoch()
+    jax.block_until_ready(engine.params)
+    secs = time.perf_counter() - t0
+    events = stats["events"]
     eps = events / secs
 
     baseline_eps = None

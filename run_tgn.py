@@ -31,6 +31,17 @@ def main():
                         help="evaluate on the test split after training")
     parser.add_argument("--platform", type=str, default=None,
                         help="force a jax platform (e.g. cpu)")
+    parser.add_argument("--log-dir", type=str, default=None,
+                        help="write jsonl metrics (and checkpoints with "
+                             "--checkpoint-every) under this directory")
+    parser.add_argument("--checkpoint-every", type=int, default=0,
+                        help="save a full-state checkpoint every N epochs")
+    parser.add_argument("--patience", type=int, default=0,
+                        help="early-stop after N non-improving validations "
+                             "(0 = off)")
+    parser.add_argument("--profile", action="store_true",
+                        help="capture a jax profiler trace of epoch 1 "
+                             "into <log-dir>/profile")
     args = parser.parse_args()
 
     if args.platform:
@@ -54,8 +65,27 @@ def main():
     print(f"dataset: {data.name}  events={data.num_edges}  "
           f"nodes={data.num_nodes}  msg_dim={data.msg_dim}")
     engine = Engine(data, config)
+    early = None
+    if args.patience:
+        from tgb_tgn_dgl_tpu.engine.checkpoint import EarlyStopMonitor
+        early = EarlyStopMonitor(max_round=args.patience,
+                                 save_dir=args.log_dir)
     start = time.time()
-    engine.fit(epochs=args.epochs)
+    if args.profile and args.log_dir:
+        from tgb_tgn_dgl_tpu.utils.metrics import profile
+        with profile(f"{args.log_dir}/profile"):
+            engine.fit(epochs=1, log_dir=args.log_dir)
+        remaining = (args.epochs or config.train.epoch) - 1
+        if remaining > 0:
+            engine.fit(epochs=remaining, early_stop=early,
+                       checkpoint_dir=args.log_dir,
+                       checkpoint_every=args.checkpoint_every,
+                       log_dir=args.log_dir)
+    else:
+        engine.fit(epochs=args.epochs, early_stop=early,
+                   checkpoint_dir=args.log_dir,
+                   checkpoint_every=args.checkpoint_every,
+                   log_dir=args.log_dir)
     if args.run_test:
         t0 = time.time()
         test_metric = engine.evaluate("test")

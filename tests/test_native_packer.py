@@ -133,3 +133,33 @@ def test_native_packer_speed():
     t_py = run(py)
     t_cc = run(cc)
     assert t_cc < t_py / 3, f"native {t_cc:.3f}s vs numpy {t_py:.3f}s"
+
+
+def test_native_wire_matches_python_wire():
+    """packer_pack_fill_wire output must equal pack_to_wire(numpy pack)."""
+    from tgb_tgn_dgl_tpu.data.native_packer import NativeStreamPacker
+    from tgb_tgn_dgl_tpu.ops.wire import pack_to_wire
+
+    data = synthetic("tgbl-wiki-small", num_edges=600, num_nodes=70,
+                     msg_dim=4, num_neg=3, seed=5)
+    cfg = PackerConfig(num_neighbors=5, batch_size=150, max_intra_block=8,
+                       mailbox_size=2)
+    py = StreamPacker(data.num_nodes, cfg)
+    cc = NativeStreamPacker(data.num_nodes, cfg)
+    rng = np.random.default_rng(6)
+    for bi in range(4):
+        rows = np.arange(bi * 150, (bi + 1) * 150)
+        src, dst, t = data.src[rows], data.dst[rows], data.t[rows]
+        blocks = get_block(src, dst)
+        em = bi == 2
+        if em:
+            neg = rng.choice(data.unique_dst(), (150, 3)).astype(np.int32)
+        else:
+            neg = rng.choice(data.unique_dst(), 150).astype(np.int32)
+        pw, piw = py.pack_wire(src, dst, t, rows, blocks, neg, eval_mode=em)
+        cw, ciw = cc.pack_wire(src, dst, t, rows, blocks, neg, eval_mode=em)
+        assert piw == ciw, f"batch {bi}: intra width {piw} != {ciw}"
+        for f in type(pw)._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(pw, f)), np.asarray(getattr(cw, f)),
+                err_msg=f"batch {bi} wire field {f}")

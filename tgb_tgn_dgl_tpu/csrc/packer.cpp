@@ -302,6 +302,10 @@ void packer_pack_begin(void* h, const int32_t* src, const int32_t* dst,
   }
   if (cap_p >= 0) p_exact = std::min(p_exact, cap_p);
   pb.p_exact = p_exact;
+  // intra nnz AFTER the cap (wire COO size)
+  int64_t nnz = 0;
+  for (int64_t s2 = 0; s2 < pb.total_roots; ++s2)
+    nnz += std::min<int64_t>(pb.intra_counts[s2], p_exact);
 
   // --- memory read set: roots ∪ valid cache neighbors of roots (cache is
   // still pre-batch state here: inserts happen at the end of fill).
@@ -329,6 +333,7 @@ void packer_pack_begin(void* h, const int32_t* src, const int32_t* dst,
   out_sizes[0] = pb.total_roots;
   out_sizes[1] = p_exact;
   out_sizes[2] = (int64_t)pb.uniq.size();
+  out_sizes[3] = nnz;
 }
 
 // Phase 2: fill python-allocated output buffers (bucketed shapes) and
@@ -504,6 +509,176 @@ void packer_pack_fill(
       if (insert) p->mail_ptr[u] = (ptr + kept) % S;
     }
   }
+
+  if (insert) {
+    packer_insert(h, pb.src.data(), pb.dst.data(), pb.t.data(),
+                  pb.ev_idx.data(), braw);
+  }
+  pb = PendingBatch();
+}
+
+// Phase 2 (wire): emit the compact WirePack arrays directly — no full
+// (R, Kp) grids are materialized on the host at all.  Pad conventions
+// match ops/wire.py::pack_to_wire exactly (tests/test_native_packer.py).
+void packer_pack_fill_wire(
+    void* h, int64_t b_bucket, int64_t r_bucket, int32_t insert,
+    // event outputs (B,)
+    int32_t* ev_src, int32_t* ev_dst, float* ev_t, int32_t* ev_idx_out,
+    uint8_t* ev_valid, int32_t* ev_neg,
+    int32_t* ev_src_slot, int32_t* ev_pos_slot, int32_t* ev_neg_slot,
+    // uniq + roots
+    int64_t u_bucket, int32_t* uniq_nid, int32_t* root_loc,
+    // cache part (R, K) + self loop (R,)
+    int32_t* cache_loc, int32_t* cache_feat, float* cache_dt,
+    float* self_dt,
+    // intra COO (Ei,)
+    int64_t ei_bucket, int32_t* ia_row, int32_t* ia_col, int32_t* ia_loc,
+    int32_t* ia_feat, float* ia_dt,
+    // write plan
+    int32_t* mw_node, int32_t* mw_slot, int32_t* mw_partner, float* mw_t,
+    int32_t* mw_eid) {
+  auto* p = static_cast<Packer*>(h);
+  auto& pb = p->pending;
+  const int32_t K = p->K;
+  const int64_t braw = pb.braw, M = pb.M;
+  const int64_t P = pb.p_exact;
+  const int32_t pad_loc = (int32_t)(u_bucket - 1);
+
+  // pads
+  for (int64_t i = 0; i < r_bucket; ++i) {
+    root_loc[i] = pad_loc;
+    self_dt[i] = 0.0f;
+  }
+  for (int64_t i = 0; i < r_bucket * K; ++i) {
+    cache_loc[i] = pad_loc;
+    cache_feat[i] = -1;
+    cache_dt[i] = 0.0f;
+  }
+  for (int64_t i = 0; i < ei_bucket; ++i) {
+    ia_row[i] = (int32_t)r_bucket;
+    ia_col[i] = 0;
+    ia_loc[i] = 0;
+    ia_feat[i] = 0;
+    ia_dt[i] = 0.0f;
+  }
+  {
+    const std::vector<int32_t>& uniq = pb.uniq;
+    int64_t U = (int64_t)uniq.size();
+    for (int64_t i = 0; i < u_bucket; ++i)
+      uniq_nid[i] = i < U ? uniq[i] : (int32_t)p->N;
+  }
+
+  int64_t ia_cursor = 0;
+  for (int32_t blk = 0; blk < pb.k; ++blk) {
+    const int64_t qlo = pb.blk_ptr[blk], qhi = pb.blk_ptr[blk + 1];
+    if (pb.eval_mode) {
+      float mx = -1e30f;
+      for (int64_t q = qlo; q < qhi; ++q)
+        mx = std::max(mx, pb.t[pb.ev_by_block[q]]);
+      if (qhi > qlo) std::fill(p->clock.begin(), p->clock.end(), mx);
+    } else {
+      for (int64_t q = qlo; q < qhi; ++q) {
+        int64_t i = pb.ev_by_block[q];
+        for (int64_t j = 0; j < M; ++j)
+          p->clock[pb.neg[i * M + j]] = pb.t[i];
+      }
+    }
+    for (int64_t q = qlo; q < qhi; ++q) {
+      int64_t i = pb.ev_by_block[q];
+      p->clock[pb.dst[i]] = pb.t[i];
+    }
+    for (int64_t q = qlo; q < qhi; ++q) {
+      int64_t i = pb.ev_by_block[q];
+      p->clock[pb.src[i]] = pb.t[i];
+    }
+
+    for (int64_t s2 = pb.offsets[blk]; s2 < pb.offsets[blk + 1]; ++s2) {
+      int32_t u = pb.root_nid[s2];
+      root_loc[s2] = p->loc_of[u];
+      const int64_t base = (int64_t)u * K;
+      const int64_t row = s2 * K;
+      for (int32_t j = 0; j < K; ++j) {
+        int64_t e = p->cache_eid[base + j];
+        if (e >= 0) {
+          int32_t nb = p->cache_nbr[base + j];
+          cache_loc[row + j] = p->loc_of[nb];
+          cache_feat[row + j] = (int32_t)e;
+          cache_dt[row + j] = p->cache_t[base + j] - p->clock[nb];
+        }
+      }
+      self_dt[s2] = 0.0f - p->clock[u];
+      int64_t full = pb.intra_counts[s2];
+      if (full > 0 && P > 0) {
+        auto [a, b2] = pb.run_of[u];
+        int64_t take = std::min<int64_t>(full, P);
+        int64_t lo = a + full - take;
+        for (int64_t q2 = 0; q2 < take; ++q2) {
+          int64_t pos = pb.run_pos[lo + q2];
+          int32_t partner = pb.run_partner[lo + q2];
+          ia_row[ia_cursor] = (int32_t)s2;
+          ia_col[ia_cursor] = (int32_t)q2;
+          ia_loc[ia_cursor] = p->loc_of[partner];
+          ia_feat[ia_cursor] = (int32_t)pb.ev_idx[pos];
+          ia_dt[ia_cursor] = pb.t[pos] - p->clock[partner];
+          ++ia_cursor;
+        }
+      }
+    }
+  }
+
+  for (int64_t i = 0; i < b_bucket; ++i) {
+    bool v = i < braw;
+    ev_src[i] = v ? pb.src[i] : 0;
+    ev_dst[i] = v ? pb.dst[i] : 0;
+    ev_t[i] = v ? pb.t[i] : 0.0f;
+    ev_idx_out[i] = v ? (int32_t)pb.ev_idx[i] : 0;
+    ev_valid[i] = v ? 1 : 0;
+    ev_src_slot[i] = v ? (int32_t)pb.ev_src_slot[i] : 0;
+    ev_pos_slot[i] = v ? (int32_t)pb.ev_pos_slot[i] : 0;
+    for (int64_t j = 0; j < M; ++j) {
+      ev_neg[i * M + j] = v ? pb.neg[i * M + j] : 0;
+      ev_neg_slot[i * M + j] = v ? (int32_t)pb.ev_neg_slot[i * M + j] : 0;
+    }
+  }
+
+  // mailbox write plan (same as packer_pack_fill)
+  {
+    const int32_t S = p->S;
+    const int64_t W = 2 * b_bucket;
+    for (int64_t i = 0; i < W; ++i) {
+      mw_node[i] = (int32_t)p->N;
+      mw_slot[i] = 0;
+      mw_partner[i] = 0;
+      mw_t[i] = 0.0f;
+      mw_eid[i] = 0;
+    }
+    std::unordered_map<int32_t, std::vector<int64_t>> writes;
+    writes.reserve(2 * braw);
+    for (int64_t i = 0; i < braw; ++i) {
+      writes[pb.src[i]].push_back(2 * i);
+      writes[pb.dst[i]].push_back(2 * i + 1);
+    }
+    for (auto& kv : writes) {
+      int32_t u = kv.first;
+      auto& v = kv.second;
+      int64_t kept = std::min<int64_t>((int64_t)v.size(), S);
+      int64_t start = (int64_t)v.size() - kept;
+      int64_t ptr = p->mail_ptr[u];
+      for (int64_t q = 0; q < kept; ++q) {
+        int64_t w = v[start + q];
+        int64_t ev = w / 2;
+        mw_node[w] = u;
+        mw_slot[w] = (int32_t)((ptr + q) % S);
+        mw_partner[w] = (w % 2 == 0) ? pb.dst[ev] : pb.src[ev];
+        mw_t[w] = pb.t[ev];
+        mw_eid[w] = (int32_t)pb.ev_idx[ev];
+      }
+      if (insert) p->mail_ptr[u] = (ptr + kept) % S;
+    }
+  }
+
+  // release the loc_of scratch marker
+  for (int32_t v : pb.uniq) p->loc_of[v] = -1;
 
   if (insert) {
     packer_insert(h, pb.src.data(), pb.dst.data(), pb.t.data(),

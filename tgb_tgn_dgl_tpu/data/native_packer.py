@@ -52,6 +52,14 @@ def _lib():
             i32p, i32p, i32p,                            # slot maps
             c.c_int64, i32p, i32p, i32p,                 # uniq/locs
             i32p, i32p, i32p, f32p, i32p]                # write plan
+        lib.packer_pack_fill_wire.argtypes = [
+            c.c_void_p, c.c_int64, c.c_int64, c.c_int32,
+            i32p, i32p, f32p, i32p, u8p, i32p,          # events
+            i32p, i32p, i32p,                            # slot maps
+            c.c_int64, i32p, i32p,                       # uniq, root_loc
+            i32p, i32p, f32p, f32p,                      # cache + self_dt
+            c.c_int64, i32p, i32p, i32p, i32p, f32p,     # intra COO
+            i32p, i32p, i32p, f32p, i32p]                # write plan
         _DECLARED = True
     return lib
 
@@ -170,7 +178,7 @@ class NativeStreamPacker:
         M = neg2d.shape[1]
         cap_p = -1 if cfg.max_intra_block is None else cfg.max_intra_block
 
-        sizes = np.zeros(3, np.int64)
+        sizes = np.zeros(4, np.int64)
         lib.packer_pack_begin(self._h, src, dst, t, ev_idx64, blocks,
                               neg2d, Braw, M, int(eval_mode), cap_p, sizes)
         total_roots, p_exact, U = int(sizes[0]), int(sizes[1]), int(sizes[2])
@@ -232,6 +240,90 @@ class NativeStreamPacker:
             num_real_roots=total_roots,
         )
 
+    def pack_wire(self, src, dst, t, ev_idx, blocks, neg,
+                  eval_mode: bool = False, insert: bool = True):
+        """Pack one batch straight into the compact WirePack (no full
+        grids on the host at all).  Returns (WirePack, intra_width)."""
+        from ..ops.wire import WirePack
+
+        cfg = self.cfg
+        lib = self._lib
+        K = cfg.num_neighbors
+        Braw = len(src)
+        B = cfg.batch_size
+        src = np.ascontiguousarray(src, np.int32)
+        dst = np.ascontiguousarray(dst, np.int32)
+        t = np.ascontiguousarray(t, np.float32)
+        ev_idx64 = np.ascontiguousarray(ev_idx, np.int64)
+        blocks = np.ascontiguousarray(blocks, np.int32)
+        neg = np.asarray(neg, np.int32)
+        neg2d = np.ascontiguousarray(neg.reshape(Braw, -1))
+        M = neg2d.shape[1]
+        cap_p = -1 if cfg.max_intra_block is None else cfg.max_intra_block
+
+        sizes = np.zeros(4, np.int64)
+        lib.packer_pack_begin(self._h, src, dst, t, ev_idx64, blocks,
+                              neg2d, Braw, M, int(eval_mode), cap_p, sizes)
+        total_roots, p_exact, U, nnz = (int(sizes[0]), int(sizes[1]),
+                                        int(sizes[2]), int(sizes[3]))
+        P = (cfg.max_intra_block if cfg.max_intra_block is not None
+             else _bucket_p(p_exact))
+        R = _bucket_pow2(max(total_roots, 1), cfg.root_bucket_lo)
+        Ub = _bucket_pow2(U + 1, cfg.root_bucket_lo)
+        Ei = _bucket_pow2(max(nnz, 1), lo=2 * B)
+
+        ev_src = np.empty(B, np.int32)
+        ev_dst = np.empty(B, np.int32)
+        ev_t = np.empty(B, np.float32)
+        ev_idx_out = np.empty(B, np.int32)
+        ev_valid = np.empty(B, np.uint8)
+        ev_neg = np.empty((B, M), np.int32)
+        ev_src_slot = np.empty(B, np.int32)
+        ev_pos_slot = np.empty(B, np.int32)
+        ev_neg_slot = np.empty((B, M), np.int32)
+        uniq_nid = np.empty(Ub, np.int32)
+        root_loc = np.empty(R, np.int32)
+        cache_loc = np.empty((R, K), np.int32)
+        cache_feat = np.empty((R, K), np.int32)
+        cache_dt = np.empty((R, K), np.float32)
+        self_dt = np.empty(R, np.float32)
+        ia_row = np.empty(Ei, np.int32)
+        ia_col = np.empty(Ei, np.int32)
+        ia_loc = np.empty(Ei, np.int32)
+        ia_feat = np.empty(Ei, np.int32)
+        ia_dt = np.empty(Ei, np.float32)
+        W = 2 * B
+        mw_node = np.empty(W, np.int32)
+        mw_slot = np.empty(W, np.int32)
+        mw_partner = np.empty(W, np.int32)
+        mw_t = np.empty(W, np.float32)
+        mw_eid = np.empty(W, np.int32)
+
+        lib.packer_pack_fill_wire(
+            self._h, B, R, int(insert),
+            ev_src, ev_dst, ev_t, ev_idx_out, ev_valid, ev_neg,
+            ev_src_slot, ev_pos_slot, ev_neg_slot,
+            Ub, uniq_nid, root_loc,
+            cache_loc, cache_feat, cache_dt, self_dt,
+            Ei, ia_row, ia_col, ia_loc, ia_feat, ia_dt,
+            mw_node, mw_slot, mw_partner, mw_t, mw_eid)
+
+        wire = WirePack(
+            ev_src=ev_src, ev_dst=ev_dst, ev_t=ev_t, ev_idx=ev_idx_out,
+            ev_valid=ev_valid.astype(bool),
+            ev_neg=ev_neg if M > 1 else ev_neg[:, 0],
+            ev_src_slot=ev_src_slot, ev_pos_slot=ev_pos_slot,
+            ev_neg_slot=ev_neg_slot if M > 1 else ev_neg_slot[:, 0],
+            uniq_nid=uniq_nid, root_loc=root_loc,
+            cache_loc=cache_loc, cache_feat=cache_feat, cache_dt=cache_dt,
+            self_dt=self_dt,
+            ia_row=ia_row, ia_col=ia_col, ia_loc=ia_loc, ia_feat=ia_feat,
+            ia_dt=ia_dt,
+            mw_node=mw_node, mw_slot=mw_slot, mw_partner=mw_partner,
+            mw_t=mw_t, mw_eid=mw_eid,
+        )
+        return wire, P
+
     @property
     def shapes_key(self):
         return (self.cfg.batch_size, self.cfg.num_neighbors)
@@ -243,6 +335,7 @@ def make_stream_packer(num_nodes: int, cfg: PackerConfig,
     from .build_hostops import build_if_needed
     from .packer import StreamPacker
 
-    if prefer_native and build_if_needed() and available():
+    if (prefer_native and cfg.strategy == "recent" and build_if_needed()
+            and available()):
         return NativeStreamPacker(num_nodes, cfg)
     return StreamPacker(num_nodes, cfg)

@@ -168,6 +168,14 @@ class StreamPacker:
         # mailbox ring pointers (host mirror of MemoryState slot layout)
         self.mail_ptr = np.zeros(num_nodes, dtype=np.int64)
         self._rng = np.random.default_rng(cfg.seed)
+        # full-history t-CSR for the 'uniform' strategy (set_tcsr);
+        # 'recent' uses the streaming cache above
+        self._tcsr = None
+
+    def set_tcsr(self, tcsr) -> None:
+        """Attach a data/tcsr.py TCSR for strategy='uniform' sampling
+        (the TGL full-history sampler role, reference config/TGN.yml:5-9)."""
+        self._tcsr = tcsr
 
     # ---------------------------------------------------------------- state
     def reset_cache(self) -> None:
@@ -348,10 +356,21 @@ class StreamPacker:
             roots_i = root_nid_parts[i]
             n_i = len(roots_i)
             rows = slice(off, off + n_i)
-            # cache in-edges (snapshot is pre-batch: inserts happen after)
-            c_nbr = self.cache_nbr[roots_i]             # (n_i, K)
-            c_eid = self.cache_eid[roots_i]
-            c_t = self.cache_t[roots_i]
+            if cfg.strategy == "uniform" and self._tcsr is not None:
+                # TGL 'uniform' strategy: K uniform neighbors from each
+                # root's full history before its current clock
+                from . import tcsr as tcsr_mod
+                sub_seed = int(self._rng.integers(0, 2 ** 62))
+                c_nbr, c_eid, c_t = tcsr_mod.sample(
+                    self._tcsr, roots_i, self.clock[roots_i], K,
+                    strategy="uniform", seed=sub_seed)
+                c_eid = c_eid.astype(np.int64)
+            else:
+                # 'recent': streaming recency-cache in-edges (snapshot is
+                # pre-batch: inserts happen after)
+                c_nbr = self.cache_nbr[roots_i]             # (n_i, K)
+                c_eid = self.cache_eid[roots_i]
+                c_t = self.cache_t[roots_i]
             valid = c_eid >= 0
             nbr_nid[rows, :K] = c_nbr
             nbr_kind[rows, :K] = np.where(valid, KIND_CACHE, KIND_INVALID)
@@ -466,6 +485,17 @@ class StreamPacker:
         if insert:
             self.insert(src, dst, t, e_id=np.asarray(ev_idx, np.int64))
         return pack
+
+    def pack_wire(self, src, dst, t, ev_idx, blocks, neg,
+                  eval_mode: bool = False, insert: bool = True):
+        """(WirePack, intra_width) — numpy path: full pack then compact.
+        The native packer emits the wire directly."""
+        from ..ops.wire import pack_to_wire
+
+        pack = self.pack(src, dst, t, ev_idx, blocks, neg,
+                         eval_mode=eval_mode, insert=insert)
+        K = self.cfg.num_neighbors
+        return pack_to_wire(pack, K), pack.nbr_kind.shape[1] - K - 1
 
     @property
     def shapes_key(self):

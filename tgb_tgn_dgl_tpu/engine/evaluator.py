@@ -66,6 +66,57 @@ def roc_auc(y_true: np.ndarray, y_score: np.ndarray) -> float:
     return float((sum_pos - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
 
 
+# ----------------------------------------------------------- device (jnp)
+# Device-side metric kernels: host↔device fetches are latency-bound (on
+# remote/tunneled TPU backends each D2H costs ~0.5 s), so the engine
+# accumulates per-batch outputs on device and computes epoch metrics in
+# ONE jitted reduction with a single scalar fetch.
+
+def jnp_mrr(y_pred_pos, y_pred_neg, valid):
+    """Per-event reciprocal rank on device; same tie convention as mrr().
+    y_pred_pos (B,), y_pred_neg (B, M), valid (B,) -> (B,) with 0 at
+    padded events."""
+    import jax.numpy as jnp
+
+    pos = y_pred_pos[:, None]
+    opt = (y_pred_neg > pos).sum(axis=1)
+    pes = (y_pred_neg >= pos).sum(axis=1)
+    rank = 0.5 * (opt + pes) + 1.0
+    return jnp.where(valid, 1.0 / rank, 0.0)
+
+
+def jnp_ap_auc(pos_logits, neg_logits, valid):
+    """Per-batch AP and rank-AUC on device (sklearn-equivalent for
+    continuous scores; midrank tie handling omitted — ties have measure
+    zero for real-valued logits).  pos/neg (B,), valid (B,) ->
+    (ap, auc) scalars."""
+    import jax.numpy as jnp
+
+    score = jnp.concatenate([pos_logits, neg_logits])
+    y = jnp.concatenate([jnp.ones_like(pos_logits),
+                         jnp.zeros_like(neg_logits)])
+    v = jnp.concatenate([valid, valid]).astype(score.dtype)
+    neg_inf = jnp.finfo(score.dtype).min
+    masked = jnp.where(v > 0, score, neg_inf)
+    order = jnp.argsort(-masked)
+    y_s = y[order] * v[order]
+    v_s = v[order]
+    tp = jnp.cumsum(y_s)
+    fp = jnp.cumsum(v_s - y_s)
+    precision = tp / jnp.maximum(tp + fp, 1.0)
+    n_pos = y_s.sum()
+    n_neg = v_s.sum() - n_pos
+    ap = (precision * y_s).sum() / jnp.maximum(n_pos, 1.0)
+    # rank-based AUC (Mann-Whitney U); ranks over valid entries only
+    ranks = jnp.cumsum(v_s)          # rank within valid, ascending score
+    # order is descending score → convert to ascending ranks
+    asc_rank = v_s.sum() + 1.0 - ranks
+    sum_pos = (asc_rank * y_s).sum()
+    auc = (sum_pos - n_pos * (n_pos + 1) / 2) / jnp.maximum(
+        n_pos * n_neg, 1.0)
+    return ap, auc
+
+
 class Evaluator:
     """TGB-Evaluator-shaped API (reference epoch_utils.py:108-113):
     eval({'y_pred_pos', 'y_pred_neg', 'eval_metric'}) -> {metric: value}."""

@@ -16,6 +16,8 @@ metric bookkeeping.  Protocol fidelity (SURVEY.md §7.4 item 3):
 from __future__ import annotations
 
 import functools
+import queue
+import threading
 import time
 from typing import Dict, Optional
 
@@ -28,14 +30,20 @@ from ..data.dataset import TemporalData
 from ..data.dependency import dependency_aware_batch
 from ..data.native_packer import make_stream_packer
 from ..data.packer import DevicePack, Pack, PackerConfig, StreamPacker
+from ..models.factory import arch_embed, arch_predict, init_arch_params
 from ..models.memory import (MemoryModelConfig, apply_mail, commit,
                              init_memory_params, init_memory_state)
 from ..models.tgnn import TGNNConfig, bce_loss, init_tgnn, tgnn_forward
+from ..models.variants import (EagerMemoryConfig, dyrep_messages,
+                               eager_apply_mail, eager_commit,
+                               init_eager_memory_params,
+                               init_eager_memory_state)
 from ..ops.wire import expand_wire, pack_to_wire
 from ..utils.config import FrameworkConfig
 from .checkpoint import (EarlyStopMonitor, load_pytree, rng_state_from_array,
                          rng_state_to_array, save_pytree)
-from .evaluator import Evaluator, average_precision, roc_auc
+from .evaluator import (Evaluator, average_precision, jnp_ap_auc, jnp_mrr,
+                        roc_auc)
 from .negatives import FixedNegatives, NegLinkSamplerDest
 
 
@@ -68,30 +76,59 @@ class Engine:
             batch_size=tr.batch_size,
             max_intra_block=tr.max_intra_block,
             mailbox_size=config.memory.mailbox_size,
+            strategy=config.sampling.strategy,
             seed=tr.seed,
         ))
-        # Real TGN mailbox memory (models/memory.py) unless the reference's
-        # frozen-all-ones quirk is requested (model_utils.py:270-271) or
-        # memory.type == 'none'.
-        self.use_memory = config.memory.enabled and not tr.frozen_memory
+        if config.sampling.strategy == "uniform":
+            from ..data.tcsr import build_tcsr
+            self.packer.set_tcsr(build_tcsr(data.src, data.dst, data.t,
+                                            data.num_nodes))
+        # Arch selection (gnn.arch knob): 'transformer_attention' (TGNN),
+        # 'identity' (JODIE), 'dyrep' (models/factory.py).  JODIE/DyRep
+        # are memory-based by definition; the flagship uses the real
+        # mailbox memory unless the reference's frozen-all-ones quirk is
+        # requested (model_utils.py:270-271) or memory.type == 'none'.
+        self.arch = config.gnn.arch
+        if self.arch in ("identity", "dyrep"):
+            assert config.memory.enabled, f"arch '{self.arch}' needs memory"
+            self.use_memory = True
+        else:
+            self.use_memory = config.memory.enabled and not tr.frozen_memory
+        # DyRep messages embed the event partner -> eager mail storage
+        self.eager_memory = self.arch == "dyrep"
         key = jax.random.PRNGKey(tr.seed)
         k_model, k_mem = jax.random.split(key)
-        self.params = init_tgnn(k_model, self.model_cfg)
+        self.params = init_arch_params(k_model, self.arch, self.model_cfg)
         if self.use_memory:
             assert config.memory.dim_out == config.gnn.dim_out, (
                 "memory.dim_out must equal gnn.dim_out (the embedding "
                 "reads memory rows as node features)")
-            self.mem_cfg = MemoryModelConfig(
-                num_nodes=data.num_nodes,
-                raw_msg_dim=data.msg_dim,
-                memory_dim=config.memory.dim_out,
-                time_dim=config.memory.dim_time,
-                mailbox_size=config.memory.mailbox_size,
-                updater=config.memory.memory_update,
-                combine=config.memory.mail_combine,
-            )
-            self.params["memory"] = init_memory_params(k_mem, self.mem_cfg)
-            self.mem_state = init_memory_state(self.mem_cfg)
+            if self.eager_memory:
+                D = config.memory.dim_out
+                self.mem_cfg = EagerMemoryConfig(
+                    num_nodes=data.num_nodes,
+                    mail_dim=D + data.msg_dim + D,
+                    memory_dim=D,
+                    updater=config.memory.memory_update,
+                    combine=config.memory.mail_combine,
+                )
+                self.params["memory"] = init_eager_memory_params(
+                    k_mem, self.mem_cfg)
+                self.mem_state = init_eager_memory_state(
+                    self.mem_cfg, config.memory.mailbox_size)
+            else:
+                self.mem_cfg = MemoryModelConfig(
+                    num_nodes=data.num_nodes,
+                    raw_msg_dim=data.msg_dim,
+                    memory_dim=config.memory.dim_out,
+                    time_dim=config.memory.dim_time,
+                    mailbox_size=config.memory.mailbox_size,
+                    updater=config.memory.memory_update,
+                    combine=config.memory.mail_combine,
+                )
+                self.params["memory"] = init_memory_params(k_mem,
+                                                           self.mem_cfg)
+                self.mem_state = init_memory_state(self.mem_cfg)
         else:
             self.mem_cfg = None
             self.mem_state = None
@@ -126,10 +163,63 @@ class Engine:
         K = self.config.sampling.num_neighbors
         N = self.data.num_nodes
 
-        if self.use_memory:
+        arch = self.arch
+
+        def train_metrics(acc, loss, pos, neg, valid):
+            """Running on-device epoch accumulator (4,): [Σ loss·n, Σ ap,
+            Σ auc, batches] — D2H fetches are ~0.5 s each on tunneled
+            backends, so per-batch host reads are forbidden; the engine
+            fetches this ONCE per epoch."""
+            n = valid.sum()
+            neg1 = neg if neg.ndim == 1 else neg[:, 0]
+            ap, auc = jnp_ap_auc(jax.nn.sigmoid(pos),
+                                 jax.nn.sigmoid(neg1), valid)
+            return acc + jnp.stack([loss.astype(jnp.float32) * n, ap, auc,
+                                    jnp.float32(1.0)])
+
+        if self.use_memory and self.eager_memory:       # DyRep
             mem_cfg = self.mem_cfg
 
-            def step(params, opt_state, mem_state, feats, wire, rng,
+            def step(params, opt_state, mem_state, feats, wire, rng, acc,
+                     intra_width):
+                pack = expand_wire(wire, K, intra_width, N)
+
+                def loss_fn(p):
+                    mem_rows, lu_rows = eager_apply_mail(
+                        p["memory"], mem_cfg, mem_state, pack.uniq_nid)
+                    embed = arch_embed(p, arch, model_cfg, mem_rows,
+                                       lu_rows, feats, pack, train=True,
+                                       rng=rng, local=True)
+                    pos, neg = arch_predict(p, embed, pack)
+                    return (bce_loss(pos, neg, pack.ev_valid),
+                            (pos, neg, mem_rows, lu_rows, embed))
+
+                (loss, (pos, neg, mem_rows, lu_rows, embed)), grads = \
+                    jax.value_and_grad(loss_fn, has_aux=True)(params)
+                lu_full = mem_state.last_update.at[pack.uniq_nid].set(
+                    lu_rows)
+                mw_mail = dyrep_messages(embed, pack, feats,
+                                         params["time"],
+                                         lu_full[pack.mw_node])
+                mem_state = eager_commit(mem_cfg, mem_state, pack.uniq_nid,
+                                         mem_rows, lu_rows, pack.mw_node,
+                                         pack.mw_slot, mw_mail, pack.mw_t,
+                                         pack.mw_eid)
+                updates, opt_state = optimizer.update(grads, opt_state,
+                                                      params)
+                params = optax.apply_updates(params, updates)
+                acc = train_metrics(acc, loss, pos, neg, pack.ev_valid)
+                return params, opt_state, mem_state, loss, pos, neg, acc
+
+            if self._jit:
+                return jax.jit(step, donate_argnums=(0, 1, 2, 6),
+                               static_argnums=(7,))
+            return step
+
+        if self.use_memory:                              # TGN / JODIE
+            mem_cfg = self.mem_cfg
+
+            def step(params, opt_state, mem_state, feats, wire, rng, acc,
                      intra_width):
                 pack = expand_wire(wire, K, intra_width, N)
 
@@ -137,9 +227,10 @@ class Engine:
                     mem_rows, lu_rows = apply_mail(
                         p["memory"], mem_cfg, mem_state, pack.uniq_nid,
                         feats)
-                    pos, neg = tgnn_forward(p, model_cfg, mem_rows, feats,
-                                            pack, train=True, rng=rng,
-                                            local=True)
+                    embed = arch_embed(p, arch, model_cfg, mem_rows,
+                                       lu_rows, feats, pack, train=True,
+                                       rng=rng, local=True)
+                    pos, neg = arch_predict(p, embed, pack)
                     return (bce_loss(pos, neg, pack.ev_valid),
                             (pos, neg, mem_rows, lu_rows))
 
@@ -152,14 +243,16 @@ class Engine:
                 updates, opt_state = optimizer.update(grads, opt_state,
                                                       params)
                 params = optax.apply_updates(params, updates)
-                return params, opt_state, mem_state, loss, pos, neg
+                acc = train_metrics(acc, loss, pos, neg, pack.ev_valid)
+                return params, opt_state, mem_state, loss, pos, neg, acc
 
             if self._jit:
-                return jax.jit(step, donate_argnums=(0, 1, 2),
-                               static_argnums=(6,))
+                return jax.jit(step, donate_argnums=(0, 1, 2, 6),
+                               static_argnums=(7,))
             return step
 
-        def step(params, opt_state, memory, feats, wire, rng, intra_width):
+        def step(params, opt_state, memory, feats, wire, rng, acc,
+                 intra_width):
             pack = expand_wire(wire, K, intra_width, N)
 
             def loss_fn(p):
@@ -171,10 +264,12 @@ class Engine:
                 loss_fn, has_aux=True)(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss, pos, neg
+            acc = train_metrics(acc, loss, pos, neg, pack.ev_valid)
+            return params, opt_state, loss, pos, neg, acc
 
         if self._jit:
-            return jax.jit(step, donate_argnums=(0, 1), static_argnums=(6,))
+            return jax.jit(step, donate_argnums=(0, 1, 6),
+                           static_argnums=(7,))
         return step
 
     def _build_eval_forward(self):
@@ -182,32 +277,79 @@ class Engine:
         K = self.config.sampling.num_neighbors
         N = self.data.num_nodes
 
-        if self.use_memory:
+        arch = self.arch
+
+        def eval_metrics(acc, pos, neg, valid):
+            """Running (2,) accumulator: [Σ per-batch mean RR, batches] —
+            fetched once per eval pass (TGB protocol: metric = mean of
+            per-batch means, reference epoch_utils.py:163)."""
+            rr = jnp_mrr(pos, neg if neg.ndim == 2 else neg[:, None],
+                         valid)
+            batch_mean = rr.sum() / jnp.maximum(valid.sum(), 1)
+            return acc + jnp.stack([batch_mean, jnp.float32(1.0)])
+
+        if self.use_memory and self.eager_memory:       # DyRep
             mem_cfg = self.mem_cfg
 
-            def fwd(params, mem_state, feats, wire, intra_width):
+            def fwd(params, mem_state, feats, wire, acc, intra_width):
+                pack = expand_wire(wire, K, intra_width, N)
+                mem_rows, lu_rows = eager_apply_mail(
+                    params["memory"], mem_cfg, mem_state, pack.uniq_nid)
+                embed = arch_embed(params, arch, model_cfg, mem_rows,
+                                   lu_rows, feats, pack, train=False,
+                                   local=True)
+                pos, neg = arch_predict(params, embed, pack)
+                lu_full = mem_state.last_update.at[pack.uniq_nid].set(
+                    lu_rows)
+                mw_mail = dyrep_messages(embed, pack, feats,
+                                         params["time"],
+                                         lu_full[pack.mw_node])
+                mem_state = eager_commit(mem_cfg, mem_state, pack.uniq_nid,
+                                         mem_rows, lu_rows, pack.mw_node,
+                                         pack.mw_slot, mw_mail, pack.mw_t,
+                                         pack.mw_eid)
+                acc = eval_metrics(acc, pos, neg, pack.ev_valid)
+                return pos, neg, mem_state, acc
+
+            if self._jit:
+                return jax.jit(fwd, donate_argnums=(1, 4),
+                               static_argnums=(5,))
+            return fwd
+
+        if self.use_memory:                              # TGN / JODIE
+            mem_cfg = self.mem_cfg
+
+            def fwd(params, mem_state, feats, wire, acc, intra_width):
                 pack = expand_wire(wire, K, intra_width, N)
                 mem_rows, lu_rows = apply_mail(
                     params["memory"], mem_cfg, mem_state, pack.uniq_nid,
                     feats)
-                pos, neg = tgnn_forward(params, model_cfg, mem_rows, feats,
-                                        pack, train=False, local=True)
+                embed = arch_embed(params, arch, model_cfg, mem_rows,
+                                   lu_rows, feats, pack, train=False,
+                                   local=True)
+                pos, neg = arch_predict(params, embed, pack)
                 mem_state = commit(mem_cfg, mem_state, pack.uniq_nid,
                                    mem_rows, lu_rows, pack.mw_node,
                                    pack.mw_slot, pack.mw_partner,
                                    pack.mw_t, pack.mw_eid)
-                return pos, neg, mem_state
+                acc = eval_metrics(acc, pos, neg, pack.ev_valid)
+                return pos, neg, mem_state, acc
 
             if self._jit:
-                return jax.jit(fwd, donate_argnums=(1,), static_argnums=(4,))
+                return jax.jit(fwd, donate_argnums=(1, 4),
+                               static_argnums=(5,))
             return fwd
 
-        def fwd(params, memory, feats, wire, intra_width):
+        def fwd(params, memory, feats, wire, acc, intra_width):
             pack = expand_wire(wire, K, intra_width, N)
-            return tgnn_forward(params, model_cfg, memory, feats, pack,
-                                train=False)
+            pos, neg = tgnn_forward(params, model_cfg, memory, feats, pack,
+                                    train=False)
+            acc = eval_metrics(acc, pos, neg, pack.ev_valid)
+            return pos, neg, acc
 
-        return jax.jit(fwd, static_argnums=(4,)) if self._jit else fwd
+        if self._jit:
+            return jax.jit(fwd, donate_argnums=(4,), static_argnums=(5,))
+        return fwd
 
     # ------------------------------------------------------------- batching
     def blocks_for(self, split: str) -> np.ndarray:
@@ -230,51 +372,78 @@ class Engine:
             yield lo, hi, rows[lo:hi], blocks[lo:hi]
 
     # --------------------------------------------------------------- epochs
+    def _prefetch(self, split: str, eval_negs=None):
+        """Producer thread: negative-sample + pack batches one step ahead
+        of the device loop.  The native packer's ctypes calls release the
+        GIL, so host packing overlaps jax dispatch on another core.
+        Yields (lo, hi, wire, intra_width)."""
+        d = self.data
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+        err = []
+
+        def producer():
+            try:
+                for lo, hi, rows, blk in self._iter_batches(split):
+                    src, dst, t = d.src[rows], d.dst[rows], d.t[rows]
+                    if eval_negs is None:
+                        neg = self.neg_sampler.sample(dst)
+                        em = False
+                    else:
+                        neg, _mask = eval_negs.query_batch(lo, hi)
+                        em = True
+                    wire, iw = self.packer.pack_wire(
+                        src, dst, t, rows, blk, neg, eval_mode=em)
+                    q.put((lo, hi, wire, iw))
+            except BaseException as e:  # surfaced in the consumer
+                err.append(e)
+            finally:
+                q.put(None)
+
+        th = threading.Thread(target=producer, daemon=True)
+        th.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+        th.join()
+        if err:
+            raise err[0]
+
     def train_epoch(self) -> Dict[str, float]:
         d = self.data
         self.packer.reset_cache()
         if self.use_memory:
             # memory + cache reset together at train start (reference
             # pyg_epoch_utils.py:11-16)
-            self.mem_state = init_memory_state(self.mem_cfg)
-        total_loss = 0.0
+            if self.eager_memory:
+                self.mem_state = init_eager_memory_state(
+                    self.mem_cfg, self.config.memory.mailbox_size)
+            else:
+                self.mem_state = init_memory_state(self.mem_cfg)
+        # Metrics accumulate ON DEVICE inside the train step (a running
+        # (4,) accumulator) and are fetched ONCE per epoch — D2H
+        # round-trips are latency-bound (remote backends: ~0.5 s each).
+        acc = jnp.zeros(4, jnp.float32)
         total = 0
-        outs = []  # (loss, pos, neg, n) device futures — jax dispatch is
-        # async, so deferring the host reads here lets the CPU pack batch
-        # i+1 while the TPU executes batch i (the host packer and the
-        # device step are the two halves of the pipeline)
-        for lo, hi, rows, blk in self._iter_batches("train"):
-            src, dst, t = d.src[rows], d.dst[rows], d.t[rows]
-            neg = self.neg_sampler.sample(dst)
-            pack = self.packer.pack(src, dst, t, rows, blk, neg,
-                                    eval_mode=False)
+        for lo, hi, wire, iw in self._prefetch("train"):
             self._rng, sk = jax.random.split(self._rng)
-            K = self.config.sampling.num_neighbors
-            wire = pack_to_wire(pack, K)
-            iw = pack.nbr_kind.shape[1] - K - 1
             if self.use_memory:
                 (self.params, self.opt_state, self.mem_state, loss, pos,
-                 neg_out) = self._train_step(
+                 neg_out, acc) = self._train_step(
                     self.params, self.opt_state, self.mem_state,
-                    self.feats, wire, sk, iw)
+                    self.feats, wire, sk, acc, iw)
             else:
-                self.params, self.opt_state, loss, pos, neg_out = \
-                    self._train_step(self.params, self.opt_state,
-                                     self.memory, self.feats, wire, sk, iw)
-            outs.append((loss, pos, neg_out, hi - lo))
+                (self.params, self.opt_state, loss, pos, neg_out,
+                 acc) = self._train_step(self.params, self.opt_state,
+                                         self.memory, self.feats, wire,
+                                         sk, acc, iw)
+            total += hi - lo
             self._step += 1
-        aps, aucs = [], []
-        for loss, pos, neg_out, n in outs:
-            total_loss += float(loss) * n
-            total += n
-            pos_np = np.asarray(pos)[:n]
-            neg_np = np.asarray(neg_out)[:n]
-            y_score = 1.0 / (1.0 + np.exp(-np.concatenate([pos_np, neg_np])))
-            y_true = np.concatenate([np.ones(n), np.zeros(n)])
-            aps.append(average_precision(y_true, y_score))
-            aucs.append(roc_auc(y_true, y_score))
-        return {"loss": total_loss, "ap": float(np.mean(aps)),
-                "auc": float(np.mean(aucs)), "events": total}
+        vals = np.asarray(acc)                           # ONE fetch
+        nb = max(vals[3], 1.0)
+        return {"loss": float(vals[0]), "ap": float(vals[1] / nb),
+                "auc": float(vals[2] / nb), "events": total}
 
     def evaluate(self, split: str = "val") -> float:
         d = self.data
@@ -282,40 +451,32 @@ class Engine:
         if ns is None:
             raise ValueError(f"no fixed negatives for split '{split}'")
         fixed = FixedNegatives(ns, mode=self.config.train.eval_neg_mode)
-        outs = []  # deferred device reads — same pipelining as train_epoch
-        for lo, hi, rows, blk in self._iter_batches(split):
-            src, dst, t = d.src[rows], d.dst[rows], d.t[rows]
-            neg, _mask = fixed.query_batch(lo, hi)
-            pack = self.packer.pack(src, dst, t, rows, blk, neg,
-                                    eval_mode=True)
-            K = self.config.sampling.num_neighbors
-            wire = pack_to_wire(pack, K)
-            iw = pack.nbr_kind.shape[1] - K - 1
+        assert d.eval_metric == "mrr", \
+            f"unsupported eval metric '{d.eval_metric}'"
+        # metric accumulates on device inside the eval step; ONE fetch
+        acc = jnp.zeros(2, jnp.float32)
+        for lo, hi, wire, iw in self._prefetch(split, eval_negs=fixed):
             if self.use_memory:
-                pos, negs, self.mem_state = self._eval_fwd(
-                    self.params, self.mem_state, self.feats, wire, iw)
+                pos, negs, self.mem_state, acc = self._eval_fwd(
+                    self.params, self.mem_state, self.feats, wire, acc, iw)
             else:
-                pos, negs = self._eval_fwd(self.params, self.memory,
-                                           self.feats, wire, iw)
-            outs.append((pos, negs, hi - lo))
-        perf = []
-        for pos, negs, n in outs:
-            res = self.evaluator.eval({
-                "y_pred_pos": np.asarray(pos)[:n],
-                "y_pred_neg": np.asarray(negs)[:n],
-                "eval_metric": [d.eval_metric],
-            })
-            perf.append(res[d.eval_metric])
-        return float(np.mean(perf))
+                pos, negs, acc = self._eval_fwd(self.params, self.memory,
+                                                self.feats, wire, acc, iw)
+        vals = np.asarray(acc)                           # ONE fetch
+        return float(vals[0] / max(vals[1], 1.0))
 
     def fit(self, epochs: Optional[int] = None, log=print,
             eval_every: int = 1,
             early_stop: Optional[EarlyStopMonitor] = None,
             checkpoint_dir: Optional[str] = None,
-            checkpoint_every: int = 0) -> Dict[str, list]:
+            checkpoint_every: int = 0,
+            log_dir: Optional[str] = None) -> Dict[str, list]:
         """Epoch driver mirroring reference pyg-mem-tgn.py:53-67, with the
         early-stopping/checkpoint machinery the reference ships but never
-        wires in (modules/early_stopping.py; SURVEY.md §5.4)."""
+        wires in (modules/early_stopping.py; SURVEY.md §5.4) and
+        structured jsonl metrics (utils/metrics.py, SURVEY.md §5.5)."""
+        from ..utils.metrics import MetricsLogger
+        metrics = MetricsLogger(log_dir)
         epochs = epochs or self.config.train.epoch
         history = {"loss": [], "val": [], "train_s": [], "val_s": []}
         start = time.time()
@@ -328,6 +489,11 @@ class Engine:
                 f"Training elapsed Time (s): {t1 - t0: .4f}")
             history["loss"].append(stats["loss"])
             history["train_s"].append(t1 - t0)
+            metrics.log("train_epoch", epoch=e + 1, loss=stats["loss"],
+                        ap=stats["ap"], auc=stats["auc"],
+                        events=stats["events"], seconds=round(t1 - t0, 4),
+                        events_per_s=round(stats["events"]
+                                           / max(t1 - t0, 1e-9), 1))
             val = None
             if (e + 1) % eval_every == 0 and self.data.val_ns is not None:
                 t0 = time.time()
@@ -337,6 +503,9 @@ class Engine:
                     f"elapsed Time (s): {t1 - t0: .4f}")
                 history["val"].append(val)
                 history["val_s"].append(t1 - t0)
+                metrics.log("val", epoch=e + 1,
+                            metric=self.data.eval_metric, value=val,
+                            seconds=round(t1 - t0, 4))
             if checkpoint_dir and checkpoint_every \
                     and (e + 1) % checkpoint_every == 0:
                 self.save_checkpoint(
@@ -350,6 +519,7 @@ class Engine:
                             self._model_state()))
                     break
         log(f"Execution Time: {time.time() - start:.6f} seconds")
+        metrics.close()
         return history
 
     # -------------------------------------------------------- checkpointing

@@ -110,7 +110,7 @@ def eager_commit(cfg: EagerMemoryConfig, state: EagerMemoryState,
                             mail_eid=meid, mail_valid=valid)
 
 
-def dyrep_messages(params: Dict, embed: jnp.ndarray, pack,
+def dyrep_messages(embed: jnp.ndarray, pack,
                    feats_table: jnp.ndarray, time_params: Dict,
                    last_update_rows: jnp.ndarray) -> jnp.ndarray:
     """Build DyRep mail for the write plan: for each write (node ← event),
