@@ -65,3 +65,52 @@ def test_learning_signal(tiny_data):
     for _ in range(4):
         last = eng.train_epoch()
     assert last["auc"] > 0.6
+
+
+def test_sanity_batches_short_circuit():
+    """train.sanity_batches stops the epoch early (reference
+    epoch_utils.py:12-13,188-192 debug mode)."""
+    import numpy as np
+    from tgb_tgn_dgl_tpu.data.dataset import synthetic
+    from tgb_tgn_dgl_tpu.engine.train import Engine
+    from tgb_tgn_dgl_tpu.utils.config import parse_config_dict
+
+    data = synthetic("tgbl-wiki-small", num_edges=1000, num_nodes=80,
+                     msg_dim=4, num_neg=4)
+    config = parse_config_dict({
+        "sampling": [{"neighbor": [4]}],
+        "gnn": [{"dim_out": 8, "att_head": 2}],
+        "train": [{"batch_size": 100, "sanity_batches": 2}],
+    })
+    engine = Engine(data, config)
+    stats = engine.train_epoch()
+    assert stats["events"] == 200  # 2 batches x 100
+
+
+def test_load_tgl_data_roundtrip(tmp_path):
+    """TGL directory layout loader (reference getData path,
+    utils.py:71-97): edges.csv + ext_full.npz."""
+    import csv
+    import os
+    import numpy as np
+    from tgb_tgn_dgl_tpu.data.dataset import load_tgl_data, synthetic
+    from tgb_tgn_dgl_tpu.data.tcsr import TCSR, build_tcsr
+
+    src_data = synthetic("tgbl-wiki-small", num_edges=300, num_nodes=40,
+                         msg_dim=2, num_neg=2)
+    d = tmp_path / "mydata"
+    os.makedirs(d)
+    with open(d / "edges.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["src", "dst", "time"])
+        w.writeheader()
+        for s, t2, tt in zip(src_data.src, src_data.dst, src_data.t):
+            w.writerow({"src": int(s), "dst": int(t2), "time": float(tt)})
+    tc = build_tcsr(src_data.src, src_data.dst, src_data.t,
+                    src_data.num_nodes)
+    tc.save_npz(str(d / "ext_full.npz"))
+
+    data = load_tgl_data("mydata", root=str(tmp_path))
+    assert data.num_edges == 300
+    np.testing.assert_array_equal(data.src, src_data.src)
+    tc2 = TCSR.load_npz(str(d / "ext_full.npz"))
+    np.testing.assert_array_equal(tc2.indptr, tc.indptr)

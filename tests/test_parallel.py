@@ -78,3 +78,10 @@ def test_sharded_step_matches_single_device():
     for a, b in zip(flat1, flat2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-6)
+
+
+def test_sharded_memory_train_step_8dev():
+    """The FULL flagship step (mailbox memory + wire) over a dp x state
+    mesh: compiles, executes, memory updates propagate, loss finite."""
+    import __graft_entry__ as graft
+    graft.dryrun_multichip(8)

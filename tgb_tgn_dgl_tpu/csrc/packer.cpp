@@ -340,7 +340,7 @@ void packer_pack_begin(void* h, const int32_t* src, const int32_t* dst,
 // advance state (clocks during fill; cache/mail_ptr if insert != 0).
 void packer_pack_fill(
     void* h, int64_t b_bucket, int64_t r_bucket, int64_t p_bucket,
-    int32_t insert,
+    int32_t insert, int32_t write_mail,
     // event outputs (B,)
     int32_t* ev_src, int32_t* ev_dst, float* ev_t, int32_t* ev_idx_out,
     uint8_t* ev_valid, int32_t* ev_neg,
@@ -487,7 +487,7 @@ void packer_pack_fill(
     }
     std::unordered_map<int32_t, std::vector<int64_t>> writes;  // positions
     writes.reserve(2 * braw);
-    for (int64_t i = 0; i < braw; ++i) {
+    for (int64_t i = 0; write_mail && i < braw; ++i) {
       writes[pb.src[i]].push_back(2 * i);
       writes[pb.dst[i]].push_back(2 * i + 1);
     }
@@ -522,6 +522,7 @@ void packer_pack_fill(
 // match ops/wire.py::pack_to_wire exactly (tests/test_native_packer.py).
 void packer_pack_fill_wire(
     void* h, int64_t b_bucket, int64_t r_bucket, int32_t insert,
+    int32_t write_mail,
     // event outputs (B,)
     int32_t* ev_src, int32_t* ev_dst, float* ev_t, int32_t* ev_idx_out,
     uint8_t* ev_valid, int32_t* ev_neg,
@@ -654,7 +655,7 @@ void packer_pack_fill_wire(
     }
     std::unordered_map<int32_t, std::vector<int64_t>> writes;
     writes.reserve(2 * braw);
-    for (int64_t i = 0; i < braw; ++i) {
+    for (int64_t i = 0; write_mail && i < braw; ++i) {
       writes[pb.src[i]].push_back(2 * i);
       writes[pb.dst[i]].push_back(2 * i + 1);
     }

@@ -193,6 +193,43 @@ def _load_tgb_processed(name: str, d: str) -> Optional[TemporalData]:
     return None
 
 
+def load_tgl_data(name: str, root: str = "DATA") -> "TemporalData":
+    """Load a TGL-format dataset directory — the reference's legacy
+    ``getData`` path (reference utils.py:71-97): ``<root>/<name>/`` with
+    ``edges.csv`` (src,dst,time[,...]) or our npz, plus the mmap'd t-CSR
+    ``ext_full.npz`` whose presence this loader verifies (it is consumed
+    by data/tcsr.py::TCSR.load_npz for sampling)."""
+    import os
+
+    d = os.path.join(root, name)
+    npz = os.path.join(d, "edges.npz")
+    if os.path.exists(npz):
+        data = load_npz(npz, name=name)
+    else:
+        csv_path = os.path.join(d, "edges.csv")
+        if not os.path.exists(csv_path):
+            raise FileNotFoundError(
+                f"no edges.npz/edges.csv under {d} (TGL layout)")
+        import csv as _csv
+
+        ss, ds, ts = [], [], []
+        with open(csv_path) as f:
+            for row in _csv.DictReader(f):
+                ss.append(int(float(row.get("src") or row.get("u"))))
+                ds.append(int(float(row.get("dst") or row.get("i")
+                                    or row.get("v"))))
+                ts.append(float(row.get("time") or row.get("ts")
+                                or row.get("timestamp")))
+        src = np.asarray(ss, np.int32)
+        dst = np.asarray(ds, np.int32)
+        t = np.asarray(ts, np.float32)
+        tr, va, te = chronological_masks(len(t))
+        data = TemporalData(name=name, src=src, dst=dst, t=t,
+                            msg=np.ones((len(t), 1), np.float32),
+                            train_mask=tr, val_mask=va, test_mask=te)
+    return data
+
+
 def synthetic(
     name: str = "tgbl-wiki-small",
     num_edges: Optional[int] = None,

@@ -46,6 +46,7 @@ def _lib():
             c.c_int64, c.c_int64, c.c_int32, c.c_int64, i64p]
         lib.packer_pack_fill.argtypes = [
             c.c_void_p, c.c_int64, c.c_int64, c.c_int64, c.c_int32,
+            c.c_int32,                                   # write_mail
             i32p, i32p, f32p, i32p, u8p, i32p,          # events
             i32p, u8p,                                   # roots
             i32p, f32p, i8p, i32p,                       # grid
@@ -54,6 +55,7 @@ def _lib():
             i32p, i32p, i32p, f32p, i32p]                # write plan
         lib.packer_pack_fill_wire.argtypes = [
             c.c_void_p, c.c_int64, c.c_int64, c.c_int32,
+            c.c_int32,                                   # write_mail
             i32p, i32p, f32p, i32p, u8p, i32p,          # events
             i32p, i32p, i32p,                            # slot maps
             c.c_int64, i32p, i32p,                       # uniq, root_loc
@@ -80,6 +82,13 @@ class NativeStreamPacker:
         self._h = lib.packer_new(num_nodes, cfg.num_neighbors,
                                  cfg.mailbox_size)
         self._rng = np.random.default_rng(cfg.seed)
+        # sticky shape buckets per (M, eval_mode) — see StreamPacker
+        self._sticky: dict = {}
+
+    def _sticky_bucket(self, key, name: str, value: int) -> int:
+        cur = self._sticky.setdefault(key, {})
+        cur[name] = max(cur.get(name, 0), value)
+        return cur[name]
 
     def __del__(self):
         h = getattr(self, "_h", None)
@@ -162,7 +171,8 @@ class NativeStreamPacker:
 
     # -------------------------------------------------------------- pack
     def pack(self, src, dst, t, ev_idx, blocks, neg,
-             eval_mode: bool = False, insert: bool = True) -> Pack:
+             eval_mode: bool = False, insert: bool = True,
+             write_mail: bool = True) -> Pack:
         cfg = self.cfg
         lib = self._lib
         K = cfg.num_neighbors
@@ -182,11 +192,14 @@ class NativeStreamPacker:
         lib.packer_pack_begin(self._h, src, dst, t, ev_idx64, blocks,
                               neg2d, Braw, M, int(eval_mode), cap_p, sizes)
         total_roots, p_exact, U = int(sizes[0]), int(sizes[1]), int(sizes[2])
+        skey = (M, bool(eval_mode))
         P = (cfg.max_intra_block if cfg.max_intra_block is not None
-             else _bucket_p(p_exact))
+             else self._sticky_bucket(skey, "P", _bucket_p(p_exact)))
         Kp = K + 1 + P
-        R = _bucket_pow2(max(total_roots, 1), cfg.root_bucket_lo)
-        Ub = _bucket_pow2(U + 1, cfg.root_bucket_lo)
+        R = self._sticky_bucket(
+            skey, "R", _bucket_pow2(max(total_roots, 1), cfg.root_bucket_lo))
+        Ub = self._sticky_bucket(
+            skey, "Ub", _bucket_pow2(U + 1, cfg.root_bucket_lo))
 
         ev_src = np.empty(B, np.int32)
         ev_dst = np.empty(B, np.int32)
@@ -214,7 +227,7 @@ class NativeStreamPacker:
         mw_eid = np.empty(W, np.int32)
 
         lib.packer_pack_fill(
-            self._h, B, R, P, int(insert),
+            self._h, B, R, P, int(insert), int(write_mail),
             ev_src, ev_dst, ev_t, ev_idx_out, ev_valid, ev_neg,
             root_nid, root_valid,
             nbr_nid, nbr_dt, nbr_kind, nbr_feat,
@@ -241,7 +254,8 @@ class NativeStreamPacker:
         )
 
     def pack_wire(self, src, dst, t, ev_idx, blocks, neg,
-                  eval_mode: bool = False, insert: bool = True):
+                  eval_mode: bool = False, insert: bool = True,
+                  write_mail: bool = True):
         """Pack one batch straight into the compact WirePack (no full
         grids on the host at all).  Returns (WirePack, intra_width)."""
         from ..ops.wire import WirePack
@@ -266,11 +280,15 @@ class NativeStreamPacker:
                               neg2d, Braw, M, int(eval_mode), cap_p, sizes)
         total_roots, p_exact, U, nnz = (int(sizes[0]), int(sizes[1]),
                                         int(sizes[2]), int(sizes[3]))
+        skey = (M, bool(eval_mode))
         P = (cfg.max_intra_block if cfg.max_intra_block is not None
-             else _bucket_p(p_exact))
-        R = _bucket_pow2(max(total_roots, 1), cfg.root_bucket_lo)
-        Ub = _bucket_pow2(U + 1, cfg.root_bucket_lo)
-        Ei = _bucket_pow2(max(nnz, 1), lo=2 * B)
+             else self._sticky_bucket(skey, "P", _bucket_p(p_exact)))
+        R = self._sticky_bucket(
+            skey, "R", _bucket_pow2(max(total_roots, 1), cfg.root_bucket_lo))
+        Ub = self._sticky_bucket(
+            skey, "Ub", _bucket_pow2(U + 1, cfg.root_bucket_lo))
+        Ei = self._sticky_bucket(
+            skey, "Ei", _bucket_pow2(max(nnz, 1), lo=2 * B))
 
         ev_src = np.empty(B, np.int32)
         ev_dst = np.empty(B, np.int32)
@@ -300,7 +318,7 @@ class NativeStreamPacker:
         mw_eid = np.empty(W, np.int32)
 
         lib.packer_pack_fill_wire(
-            self._h, B, R, int(insert),
+            self._h, B, R, int(insert), int(write_mail),
             ev_src, ev_dst, ev_t, ev_idx_out, ev_valid, ev_neg,
             ev_src_slot, ev_pos_slot, ev_neg_slot,
             Ub, uniq_nid, root_loc,

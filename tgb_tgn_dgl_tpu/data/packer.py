@@ -171,6 +171,15 @@ class StreamPacker:
         # full-history t-CSR for the 'uniform' strategy (set_tcsr);
         # 'recent' uses the streaming cache above
         self._tcsr = None
+        # sticky shape buckets: monotone per (M, eval_mode) profile so a
+        # whole run converges to ONE compile bucket per profile (XLA
+        # compiles cost 20-40 s on tunneled backends)
+        self._sticky: dict = {}
+
+    def _sticky_bucket(self, key, name: str, value: int) -> int:
+        cur = self._sticky.setdefault(key, {})
+        cur[name] = max(cur.get(name, 0), value)
+        return cur[name]
 
     def set_tcsr(self, tcsr) -> None:
         """Attach a data/tcsr.py TCSR for strategy='uniform' sampling
@@ -248,6 +257,7 @@ class StreamPacker:
         neg: np.ndarray,
         eval_mode: bool = False,
         insert: bool = True,
+        write_mail: bool = True,
     ) -> Pack:
         """Pack one batch and (by default) advance the stream state.
 
@@ -319,15 +329,17 @@ class StreamPacker:
                 cnt = int(np.searchsorted(s_blk2[a:b2], i, side="left"))
                 intra_counts[off + j] = cnt
         P_exact = int(intra_counts.max()) if total_roots else 0
+        skey = (M, bool(eval_mode))
         if cfg.max_intra_block is not None:
             # fixed grid width: every batch compiles to the same bucket
             # (per-batch pow2 widths caused one XLA compile per width)
             P_exact = min(P_exact, cfg.max_intra_block)
             P = cfg.max_intra_block
         else:
-            P = _bucket_p(P_exact)
+            P = self._sticky_bucket(skey, "P", _bucket_p(P_exact))
         Kp = K + 1 + P
-        R = _bucket_pow2(max(total_roots, 1), cfg.root_bucket_lo)
+        R = self._sticky_bucket(
+            skey, "R", _bucket_pow2(max(total_roots, 1), cfg.root_bucket_lo))
 
         nbr_nid = np.zeros((R, Kp), np.int32)
         nbr_dt = np.zeros((R, Kp), np.float32)
@@ -408,7 +420,8 @@ class StreamPacker:
             [root_nid_all, nbr_nid[cache_mask].ravel()])) \
             if total_roots else np.zeros(0, np.int64)
         U = len(uniq)
-        Ub = _bucket_pow2(U + 1, cfg.root_bucket_lo)
+        Ub = self._sticky_bucket(
+            skey, "Ub", _bucket_pow2(U + 1, cfg.root_bucket_lo))
         uniq_nid = np.full(Ub, self.N, np.int32)       # pad = trash row
         uniq_nid[:U] = uniq
         root_loc = np.full(R, Ub - 1, np.int32)        # pad roots → trash
@@ -425,7 +438,7 @@ class StreamPacker:
         mw_partner = np.zeros(W, np.int32)
         mw_t = np.zeros(W, np.float32)
         mw_eid = np.zeros(W, np.int32)
-        if Braw:
+        if Braw and write_mail:
             wnode = np.empty(2 * Braw, np.int64)
             wpart = np.empty(2 * Braw, np.int64)
             wnode[0::2], wnode[1::2] = src, dst
@@ -443,7 +456,8 @@ class StreamPacker:
                 take = order[b2 - kept:b2]      # last `kept`, in order
                 ptr = self.mail_ptr[u]
                 slots = (ptr + np.arange(kept)) % S
-                self.mail_ptr[u] = (ptr + kept) % S
+                if insert:  # ring pointers advance only when the batch
+                    self.mail_ptr[u] = (ptr + kept) % S  # commits state
                 out = take            # positions within the W buffer
                 mw_node[out] = u
                 mw_slot[out] = slots
@@ -487,15 +501,38 @@ class StreamPacker:
         return pack
 
     def pack_wire(self, src, dst, t, ev_idx, blocks, neg,
-                  eval_mode: bool = False, insert: bool = True):
+                  eval_mode: bool = False, insert: bool = True,
+                  write_mail: bool = True):
         """(WirePack, intra_width) — numpy path: full pack then compact.
         The native packer emits the wire directly."""
         from ..ops.wire import pack_to_wire
 
         pack = self.pack(src, dst, t, ev_idx, blocks, neg,
-                         eval_mode=eval_mode, insert=insert)
+                         eval_mode=eval_mode, insert=insert,
+                         write_mail=write_mail)
         K = self.cfg.num_neighbors
-        return pack_to_wire(pack, K), pack.nbr_kind.shape[1] - K - 1
+        wire = pack_to_wire(pack, K)
+        # sticky Ei (the pack's R/Ub/P are already sticky via pack())
+        neg_arr = np.asarray(neg)
+        M = neg_arr.shape[1] if neg_arr.ndim == 2 else 1
+        Ei = self._sticky_bucket((M, bool(eval_mode)), "Ei",
+                                 wire.ia_row.shape[0])
+        if Ei != wire.ia_row.shape[0]:
+            R = pack.root_nid.shape[0]
+            pad = Ei - wire.ia_row.shape[0]
+            wire = wire._replace(
+                ia_row=np.concatenate(
+                    [wire.ia_row, np.full(pad, R, np.int32)]),
+                ia_col=np.concatenate(
+                    [wire.ia_col, np.zeros(pad, np.int32)]),
+                ia_loc=np.concatenate(
+                    [wire.ia_loc, np.zeros(pad, np.int32)]),
+                ia_feat=np.concatenate(
+                    [wire.ia_feat, np.zeros(pad, np.int32)]),
+                ia_dt=np.concatenate(
+                    [wire.ia_dt, np.zeros(pad, np.float32)]),
+            )
+        return wire, pack.nbr_kind.shape[1] - K - 1
 
     @property
     def shapes_key(self):

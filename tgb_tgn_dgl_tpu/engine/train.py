@@ -16,8 +16,6 @@ metric bookkeeping.  Protocol fidelity (SURVEY.md §7.4 item 3):
 from __future__ import annotations
 
 import functools
-import queue
-import threading
 import time
 from typing import Dict, Optional
 
@@ -33,7 +31,8 @@ from ..data.packer import DevicePack, Pack, PackerConfig, StreamPacker
 from ..models.factory import arch_embed, arch_predict, init_arch_params
 from ..models.memory import (MemoryModelConfig, apply_mail, commit,
                              init_memory_params, init_memory_state)
-from ..models.tgnn import TGNNConfig, bce_loss, init_tgnn, tgnn_forward
+from ..models.tgnn import (TGNNConfig, bce_loss, init_tgnn, tgnn_embed,
+                           tgnn_forward)
 from ..models.variants import (EagerMemoryConfig, dyrep_messages,
                                eager_apply_mail, eager_commit,
                                init_eager_memory_params,
@@ -47,12 +46,31 @@ from .evaluator import (Evaluator, average_precision, jnp_ap_auc, jnp_mrr,
 from .negatives import FixedNegatives, NegLinkSamplerDest
 
 
+def _enable_persistent_compile_cache() -> None:
+    """XLA compiles cost 20-40 s each on tunneled TPU backends; the
+    persistent cache makes them one-time per (program, shape bucket)
+    across processes."""
+    import os
+
+    try:
+        if not jax.config.jax_compilation_cache_dir:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get("TGB_TGN_JAX_CACHE",
+                               os.path.expanduser("~/.cache/tgb_tgn_jax")))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+    except Exception:
+        pass
+
+
 class Engine:
     """Single-host engine for the flagship TGNN. The multi-chip variants
     live in parallel/ and reuse the same packs and model functions."""
 
     def __init__(self, data: TemporalData, config: FrameworkConfig,
                  jit: bool = True):
+        _enable_persistent_compile_cache()
         self.data = data
         self.config = config
         tr = config.train
@@ -279,26 +297,47 @@ class Engine:
 
         arch = self.arch
 
-        def eval_metrics(acc, pos, neg, valid):
-            """Running (2,) accumulator: [Σ per-batch mean RR, batches] —
-            fetched once per eval pass (TGB protocol: metric = mean of
-            per-batch means, reference epoch_utils.py:163)."""
-            rr = jnp_mrr(pos, neg if neg.ndim == 2 else neg[:, None],
-                         valid)
+        # Eval runs as small jitted phases per negative-set CHUNK: (1)
+        # memory update + embedding + state commit, (2) edge scoring into
+        # per-event rank COUNTS.  Ranks are additive across chunks, so
+        # chunking is exact; it is required because every (block,
+        # negative) pair gets its own root slot (reference
+        # model_utils.py:85-92) and M=999 on one grid is a >500K-slot
+        # 12 GB program that OOMs HBM.  No extra host fetches: counts
+        # accumulate on device, one fetch per eval pass.
+        def score_counts(params, embed, wire, opt, pes):
+            from ..models.tgnn import edge_predictor
+            h_src = embed[wire.ev_src_slot]
+            h_pos = embed[wire.ev_pos_slot]
+            h_neg = embed[wire.ev_neg_slot]
+            pos, neg = edge_predictor(params["pred"], h_src, h_pos, h_neg)
+            neg2 = neg if neg.ndim == 2 else neg[:, None]
+            p = pos[:, None]
+            return (pos, opt + (neg2 > p).sum(axis=1),
+                    pes + (neg2 >= p).sum(axis=1))
+
+        def finalize(acc, opt, pes, valid):
+            # TGB/OGB tie convention: rank = ½(optimistic + pessimistic)+1
+            rank = 0.5 * (opt + pes).astype(jnp.float32) + 1.0
+            rr = jnp.where(valid, 1.0 / rank, 0.0)
             batch_mean = rr.sum() / jnp.maximum(valid.sum(), 1)
             return acc + jnp.stack([batch_mean, jnp.float32(1.0)])
+
+        self._eval_score = (jax.jit(score_counts, donate_argnums=(3, 4))
+                            if self._jit else score_counts)
+        self._eval_finalize = (jax.jit(finalize, donate_argnums=(0,))
+                               if self._jit else finalize)
 
         if self.use_memory and self.eager_memory:       # DyRep
             mem_cfg = self.mem_cfg
 
-            def fwd(params, mem_state, feats, wire, acc, intra_width):
+            def fwd(params, mem_state, feats, wire, intra_width):
                 pack = expand_wire(wire, K, intra_width, N)
                 mem_rows, lu_rows = eager_apply_mail(
                     params["memory"], mem_cfg, mem_state, pack.uniq_nid)
                 embed = arch_embed(params, arch, model_cfg, mem_rows,
                                    lu_rows, feats, pack, train=False,
                                    local=True)
-                pos, neg = arch_predict(params, embed, pack)
                 lu_full = mem_state.last_update.at[pack.uniq_nid].set(
                     lu_rows)
                 mw_mail = dyrep_messages(embed, pack, feats,
@@ -308,18 +347,16 @@ class Engine:
                                          mem_rows, lu_rows, pack.mw_node,
                                          pack.mw_slot, mw_mail, pack.mw_t,
                                          pack.mw_eid)
-                acc = eval_metrics(acc, pos, neg, pack.ev_valid)
-                return pos, neg, mem_state, acc
+                return embed, mem_state
 
             if self._jit:
-                return jax.jit(fwd, donate_argnums=(1, 4),
-                               static_argnums=(5,))
+                return jax.jit(fwd, donate_argnums=(1,), static_argnums=(4,))
             return fwd
 
         if self.use_memory:                              # TGN / JODIE
             mem_cfg = self.mem_cfg
 
-            def fwd(params, mem_state, feats, wire, acc, intra_width):
+            def fwd(params, mem_state, feats, wire, intra_width):
                 pack = expand_wire(wire, K, intra_width, N)
                 mem_rows, lu_rows = apply_mail(
                     params["memory"], mem_cfg, mem_state, pack.uniq_nid,
@@ -327,29 +364,23 @@ class Engine:
                 embed = arch_embed(params, arch, model_cfg, mem_rows,
                                    lu_rows, feats, pack, train=False,
                                    local=True)
-                pos, neg = arch_predict(params, embed, pack)
                 mem_state = commit(mem_cfg, mem_state, pack.uniq_nid,
                                    mem_rows, lu_rows, pack.mw_node,
                                    pack.mw_slot, pack.mw_partner,
                                    pack.mw_t, pack.mw_eid)
-                acc = eval_metrics(acc, pos, neg, pack.ev_valid)
-                return pos, neg, mem_state, acc
+                return embed, mem_state
 
             if self._jit:
-                return jax.jit(fwd, donate_argnums=(1, 4),
-                               static_argnums=(5,))
+                return jax.jit(fwd, donate_argnums=(1,), static_argnums=(4,))
             return fwd
 
-        def fwd(params, memory, feats, wire, acc, intra_width):
+        def fwd(params, memory, feats, wire, intra_width):
             pack = expand_wire(wire, K, intra_width, N)
-            pos, neg = tgnn_forward(params, model_cfg, memory, feats, pack,
-                                    train=False)
-            acc = eval_metrics(acc, pos, neg, pack.ev_valid)
-            return pos, neg, acc
+            embed = tgnn_embed(params, model_cfg, memory, feats, pack,
+                               train=False)
+            return embed
 
-        if self._jit:
-            return jax.jit(fwd, donate_argnums=(4,), static_argnums=(5,))
-        return fwd
+        return jax.jit(fwd, static_argnums=(4,)) if self._jit else fwd
 
     # ------------------------------------------------------------- batching
     def blocks_for(self, split: str) -> np.ndarray:
@@ -373,42 +404,23 @@ class Engine:
 
     # --------------------------------------------------------------- epochs
     def _prefetch(self, split: str, eval_negs=None):
-        """Producer thread: negative-sample + pack batches one step ahead
-        of the device loop.  The native packer's ctypes calls release the
-        GIL, so host packing overlaps jax dispatch on another core.
-        Yields (lo, hi, wire, intra_width)."""
+        """Pack batches for the device loop; yields (lo, hi, wire,
+        intra_width).  jax dispatch is asynchronous, so packing batch i+1
+        on the main thread already overlaps the device executing batch i
+        — a worker-thread queue was measured 3x SLOWER here (GIL/context-
+        switch ping-pong on a 2-core host)."""
         d = self.data
-        q: "queue.Queue" = queue.Queue(maxsize=2)
-        err = []
-
-        def producer():
-            try:
-                for lo, hi, rows, blk in self._iter_batches(split):
-                    src, dst, t = d.src[rows], d.dst[rows], d.t[rows]
-                    if eval_negs is None:
-                        neg = self.neg_sampler.sample(dst)
-                        em = False
-                    else:
-                        neg, _mask = eval_negs.query_batch(lo, hi)
-                        em = True
-                    wire, iw = self.packer.pack_wire(
-                        src, dst, t, rows, blk, neg, eval_mode=em)
-                    q.put((lo, hi, wire, iw))
-            except BaseException as e:  # surfaced in the consumer
-                err.append(e)
-            finally:
-                q.put(None)
-
-        th = threading.Thread(target=producer, daemon=True)
-        th.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            yield item
-        th.join()
-        if err:
-            raise err[0]
+        for lo, hi, rows, blk in self._iter_batches(split):
+            src, dst, t = d.src[rows], d.dst[rows], d.t[rows]
+            if eval_negs is None:
+                neg = self.neg_sampler.sample(dst)
+                em = False
+            else:
+                neg, _mask = eval_negs.query_batch(lo, hi)
+                em = True
+            wire, iw = self.packer.pack_wire(src, dst, t, rows, blk, neg,
+                                             eval_mode=em)
+            yield lo, hi, wire, iw
 
     def train_epoch(self) -> Dict[str, float]:
         d = self.data
@@ -426,7 +438,13 @@ class Engine:
         # round-trips are latency-bound (remote backends: ~0.5 s each).
         acc = jnp.zeros(4, jnp.float32)
         total = 0
+        nb = 0
+        sanity = self.config.train.sanity_batches
         for lo, hi, wire, iw in self._prefetch("train"):
+            if sanity and nb >= sanity:
+                # debug short-circuit (reference epoch_utils.py:188-192)
+                break
+            nb += 1
             self._rng, sk = jax.random.split(self._rng)
             if self.use_memory:
                 (self.params, self.opt_state, self.mem_state, loss, pos,
@@ -453,15 +471,38 @@ class Engine:
         fixed = FixedNegatives(ns, mode=self.config.train.eval_neg_mode)
         assert d.eval_metric == "mrr", \
             f"unsupported eval metric '{d.eval_metric}'"
-        # metric accumulates on device inside the eval step; ONE fetch
+        B = self.config.train.batch_size
         acc = jnp.zeros(2, jnp.float32)
-        for lo, hi, wire, iw in self._prefetch(split, eval_negs=fixed):
-            if self.use_memory:
-                pos, negs, self.mem_state, acc = self._eval_fwd(
-                    self.params, self.mem_state, self.feats, wire, acc, iw)
-            else:
-                pos, negs, acc = self._eval_fwd(self.params, self.memory,
-                                                self.feats, wire, acc, iw)
+        for lo, hi, rows, blk in self._iter_batches(split):
+            src, dst, t = d.src[rows], d.dst[rows], d.t[rows]
+            neg, _mask = fixed.query_batch(lo, hi)
+            neg = np.asarray(neg)
+            neg2d = neg.reshape(len(rows), -1)
+            M = neg2d.shape[1]
+            Mc = (self.config.train.eval_neg_chunk
+                  or max(1, min(M, 49152 // max(hi - lo, 1) - 2)))
+            n_chunks = -(-M // Mc)
+            opt = jnp.zeros(B, jnp.int32)
+            pes = jnp.zeros(B, jnp.int32)
+            for ci in range(n_chunks):
+                last = ci == n_chunks - 1
+                neg_c = neg2d[:, ci * Mc:(ci + 1) * Mc]
+                # stream state (cache insert, mail writes, ring pointers)
+                # advances only on the last chunk; memory commits of
+                # PENDING mail are idempotent across chunks
+                wire, iw = self.packer.pack_wire(
+                    src, dst, t, rows, blk, neg_c, eval_mode=True,
+                    insert=last, write_mail=last)
+                if self.use_memory:
+                    embed, self.mem_state = self._eval_fwd(
+                        self.params, self.mem_state, self.feats, wire, iw)
+                else:
+                    embed = self._eval_fwd(self.params, self.memory,
+                                           self.feats, wire, iw)
+                pos, opt, pes = self._eval_score(self.params, embed, wire,
+                                                 opt, pes)
+            valid = jnp.asarray(np.arange(B) < (hi - lo))
+            acc = self._eval_finalize(acc, opt, pes, valid)
         vals = np.asarray(acc)                           # ONE fetch
         return float(vals[0] / max(vals[1], 1.0))
 

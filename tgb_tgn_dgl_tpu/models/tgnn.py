@@ -132,8 +132,10 @@ def tgnn_embed(
     mask = kind != KIND_INVALID                # (R, Kp)
 
     # ---- edge features: msg-table gather; self-loops are ones ----------
+    # cast the TABLE before gathering: the (R, Kp, F) gather output is the
+    # dominant HBM traffic of the step; in bf16 it is half the bytes
     feat_idx = jnp.clip(pack.nbr_feat, 0, feats_table.shape[0] - 1)
-    ef = feats_table[feat_idx].astype(cdt)     # (R, Kp, F)
+    ef = feats_table.astype(cdt)[feat_idx]     # (R, Kp, F)
     is_self = (kind == KIND_SELF)[..., None]
     ef = jnp.where(is_self, jnp.ones_like(ef), ef)
     ef = jnp.where(mask[..., None], ef, 0.0)
@@ -143,13 +145,14 @@ def tgnn_embed(
                  + params["time"]["b"]).astype(cdt)   # (R, Kp, D)
     e_in = jnp.concatenate([ef, te], axis=-1)  # (R, Kp, F+D)
 
-    # ---- node features (memory rows) ------------------------------------
+    # ---- node features (memory rows; table cast before gather) ---------
+    mem_c = memory.astype(cdt)
     if local:
-        nf_src = memory[pack.nbr_loc].astype(cdt)   # (R, Kp, D)
-        nf_dst = memory[pack.root_loc].astype(cdt)  # (R, D)
+        nf_src = mem_c[pack.nbr_loc]                # (R, Kp, D)
+        nf_dst = mem_c[pack.root_loc]               # (R, D)
     else:
-        nf_src = memory[pack.nbr_nid].astype(cdt)   # (R, Kp, D)
-        nf_dst = memory[pack.root_nid].astype(cdt)  # (R, D)
+        nf_src = mem_c[pack.nbr_nid]                # (R, Kp, D)
+        nf_dst = mem_c[pack.root_nid]               # (R, D)
     nf_src = dropout(k_nf, nf_src, cfg.feat_drop, det)
     nf_dst = dropout(jax.random.fold_in(k_nf, 1), nf_dst, cfg.feat_drop, det)
     e_in = dropout(k_ef, e_in, cfg.feat_drop, det)

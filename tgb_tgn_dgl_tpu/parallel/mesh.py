@@ -61,8 +61,23 @@ def pack_shardings(mesh: Mesh) -> DevicePack:
 
 
 def state_sharding(mesh: Mesh) -> NamedSharding:
-    """Row sharding for (N, D) node state and (E, F) feature tables."""
-    return NamedSharding(mesh, P("state", None))
+    """Row sharding for (N, ...) node state and (E, F) feature tables
+    (only the leading axis is partitioned)."""
+    return NamedSharding(mesh, P("state"))
+
+
+def row_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for 1-D per-node vectors (e.g. last_update)."""
+    return NamedSharding(mesh, P("state"))
+
+
+def wire_shardings(mesh: Mesh):
+    """NamedShardings for each WirePack field: batch/root/COO leading
+    dims range-partitioned over 'dp'."""
+    from ..ops.wire import WirePack
+
+    dp = NamedSharding(mesh, P("dp"))
+    return WirePack(**{f: dp for f in WirePack._fields})
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -97,8 +97,18 @@ class TrainConfig:
     # 'truncate_min' = reference eval-negative handling
     # (epoch_utils.py:48-56); 'pad_mask' = faithful-to-TGB pad+mask.
     eval_neg_mode: str = "truncate_min"
+    # Evaluate fixed negatives in chunks of this many per event (exact:
+    # MRR ranks are additive across chunks).  Root slots scale with
+    # B*(2+M) because every (block, negative) pair is embedded in its own
+    # causal context (reference model_utils.py:85-92), so M=999 on one
+    # grid OOMs HBM.  None = auto (~24K root slots per chunk).
+    eval_neg_chunk: Optional[int] = None
     # dtype for the dense compute path: 'float32' | 'bfloat16'
     compute_dtype: str = "float32"
+    # Debug short-circuit (reference sanity_check/sanity flags,
+    # epoch_utils.py:12-13,188-192): stop each train epoch after N
+    # batches.  0 = off.
+    sanity_batches: int = 0
 
 
 @dataclass
