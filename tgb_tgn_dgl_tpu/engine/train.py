@@ -88,6 +88,7 @@ class Engine:
                        else tr.att_dropout),
             compute_dtype=jnp.bfloat16 if tr.compute_dtype == "bfloat16"
             else jnp.float32,
+            use_pallas=config.gnn.use_pallas,
         )
         self.packer = make_stream_packer(data.num_nodes, PackerConfig(
             num_neighbors=config.sampling.num_neighbors,

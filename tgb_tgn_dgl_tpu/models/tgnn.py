@@ -57,6 +57,12 @@ class TGNNConfig(NamedTuple):
     attn_drop: float = 0.2         # train.att_dropout
     negative_slope: float = 0.2    # leaky_relu (model_utils.py:517)
     compute_dtype: Any = jnp.float32
+    # Fused Pallas attention kernel (ops/pallas_attention.py) for the
+    # scalar-mode softmax/weighted-sum; applies when attention dropout is
+    # inactive (eval, or attn_drop == 0) — dropout sits between softmax
+    # and the sum, which the fused kernel folds together.
+    use_pallas: bool = False
+    pallas_interpret: bool = False
 
 
 def init_tgnn(key, cfg: TGNNConfig) -> Dict:
@@ -166,13 +172,21 @@ def tgnn_embed(
         er = nf_dst @ wr.astype(cdt) + br.astype(cdt)       # (R, H)
         ee = e_in @ we.astype(cdt) + be.astype(cdt)         # (R, Kp, H)
         el_prime = el + ee
-        logits = jax.nn.leaky_relu(el_prime + er[:, None, :],
-                                   cfg.negative_slope)
-        a = masked_softmax(logits, mask[..., None], axis=1)  # (R, Kp, H)
-        a = dropout(k_attn, a, cfg.attn_drop, det)
-        out = jnp.sum(a * el_prime, axis=1)                  # (R, H)
+        if cfg.use_pallas and (det or cfg.attn_drop == 0.0):
+            from ..ops.pallas_attention import attention_core
+
+            out = attention_core(el_prime, er, mask, cfg.negative_slope,
+                                 use_pallas=True,
+                                 interpret=cfg.pallas_interpret)
+        else:
+            logits = jax.nn.leaky_relu(el_prime + er[:, None, :],
+                                       cfg.negative_slope)
+            a = masked_softmax(logits, mask[..., None], axis=1)  # (R,Kp,H)
+            a = dropout(k_attn, a, cfg.attn_drop, det)
+            out = jnp.sum(a * el_prime, axis=1)                  # (R, H)
         # identity residual + head mean: mean_h(out_h + nf_dst_d)
-        embed = nf_dst + jnp.mean(out, axis=-1, keepdims=True)
+        embed = nf_dst + jnp.mean(out.astype(cdt), axis=-1,
+                                  keepdims=True)
     else:
         # corrected vector-message attention
         node_p = apply_linear(gat["fc_node"], nf_src).reshape(

@@ -69,6 +69,9 @@ class GnnConfig:
     # we honor train.dropout/att_dropout (SURVEY.md §7.5). Set this to
     # replicate the hardcoded value for parity debugging.
     override_dropout: Optional[float] = None
+    # Fused Pallas attention kernel for the scalar-mode softmax path
+    # (ops/pallas_attention.py); active when attention dropout is off.
+    use_pallas: bool = False
 
 
 @dataclass
