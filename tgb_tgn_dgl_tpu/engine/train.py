@@ -441,6 +441,8 @@ class Engine:
         total = 0
         nb = 0
         sanity = self.config.train.sanity_batches
+        inflight = []  # completion throttle (train.max_inflight_batches)
+        max_inflight = self.config.train.max_inflight_batches
         for lo, hi, wire, iw in self._prefetch("train"):
             if sanity and nb >= sanity:
                 # debug short-circuit (reference epoch_utils.py:188-192)
@@ -459,6 +461,9 @@ class Engine:
                                          sk, acc, iw)
             total += hi - lo
             self._step += 1
+            inflight.append(loss)
+            if max_inflight and len(inflight) > max_inflight:
+                jax.block_until_ready(inflight.pop(0))
         vals = np.asarray(acc)                           # ONE fetch
         nb = max(vals[3], 1.0)
         return {"loss": float(vals[0]), "ap": float(vals[1] / nb),
@@ -474,6 +479,8 @@ class Engine:
             f"unsupported eval metric '{d.eval_metric}'"
         B = self.config.train.batch_size
         acc = jnp.zeros(2, jnp.float32)
+        inflight = []
+        max_inflight = self.config.train.max_inflight_batches
         for lo, hi, rows, blk in self._iter_batches(split):
             src, dst, t = d.src[rows], d.dst[rows], d.t[rows]
             neg, _mask = fixed.query_batch(lo, hi)
@@ -502,6 +509,9 @@ class Engine:
                                            self.feats, wire, iw)
                 pos, opt, pes = self._eval_score(self.params, embed, wire,
                                                  opt, pes)
+                inflight.append(pos)
+                if max_inflight and len(inflight) > max_inflight:
+                    jax.block_until_ready(inflight.pop(0))
             valid = jnp.asarray(np.arange(B) < (hi - lo))
             acc = self._eval_finalize(acc, opt, pes, valid)
         vals = np.asarray(acc)                           # ONE fetch

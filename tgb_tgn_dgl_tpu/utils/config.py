@@ -112,6 +112,11 @@ class TrainConfig:
     # epoch_utils.py:12-13,188-192): stop each train epoch after N
     # batches.  0 = off.
     sanity_batches: int = 0
+    # Bound on asynchronously dispatched device steps: once this many
+    # are in flight, the engine waits for the oldest to COMPLETE (no
+    # host fetch) before dispatching more.  Unbounded dispatch bursts
+    # can wedge remote/tunneled TPU runtimes.
+    max_inflight_batches: int = 8
 
 
 @dataclass
