@@ -114,3 +114,32 @@ def test_load_tgl_data_roundtrip(tmp_path):
     np.testing.assert_array_equal(data.src, src_data.src)
     tc2 = TCSR.load_npz(str(d / "ext_full.npz"))
     np.testing.assert_array_equal(tc2.indptr, tc.indptr)
+
+
+def test_eval_neg_chunking_is_exact():
+    """Chunked negative evaluation must give the SAME MRR as a single
+    pass (ranks are additive across chunks)."""
+    import numpy as np
+    from tgb_tgn_dgl_tpu.data.dataset import synthetic
+    from tgb_tgn_dgl_tpu.engine.train import Engine
+    from tgb_tgn_dgl_tpu.utils.config import parse_config_dict
+
+    data = synthetic("tgbl-wiki-small", num_edges=1200, num_nodes=100,
+                     msg_dim=4, num_neg=10)
+
+    def run(chunk):
+        config = parse_config_dict({
+            "sampling": [{"neighbor": [4]}],
+            "memory": [{"dim_out": 8, "dim_time": 8}],
+            "gnn": [{"dim_out": 8, "att_head": 2}],
+            "train": [{"batch_size": 300, "seed": 3,
+                       "frozen_memory": False,
+                       "eval_neg_chunk": chunk}],
+        })
+        engine = Engine(data, config)
+        engine.train_epoch()
+        return engine.evaluate("val")
+
+    full = run(None)        # auto -> single chunk at this size
+    chunked = run(3)        # 10 negatives in chunks of 3 (ragged tail)
+    assert full == pytest.approx(chunked, abs=1e-5), (full, chunked)
