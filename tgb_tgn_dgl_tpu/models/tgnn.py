@@ -68,6 +68,13 @@ class TGNNConfig(NamedTuple):
 def init_tgnn(key, cfg: TGNNConfig) -> Dict:
     """Build the learnable pytree.  time_dim = hidden_dim (the reference
     overrides its time_dim argument, model_utils.py:18)."""
+    if cfg.num_layers != 1:
+        raise NotImplementedError(
+            "gnn.layer must be 1: the reference's multi-layer attention "
+            "path is dead code (model_utils.py:669-686 commented out; "
+            "its active TemporalTransformerConv runs exactly one "
+            "EdgeGATConv) and the packed 1-hop grid mirrors that. "
+            "Multi-hop needs K-hop grid packing.")
     D = cfg.hidden_dim
     H = cfg.num_heads
     De = cfg.edge_feat_dim + D       # edge feat ⊕ time encoding
