@@ -143,3 +143,38 @@ def test_eval_neg_chunking_is_exact():
     full = run(None)        # auto -> single chunk at this size
     chunked = run(3)        # 10 negatives in chunks of 3 (ragged tail)
     assert full == pytest.approx(chunked, abs=1e-5), (full, chunked)
+
+
+def _epoch_with_fuse(data, fuse, frozen=True):
+    """One train epoch with dropout off; returns (params, stats)."""
+    raw = dict(TINY)
+    raw["gnn"] = [dict(att_head=4, dim_out=32, dim_time=32)]
+    raw["memory"] = [dict(dim_out=32, dim_time=32)]
+    raw["train"] = [dict(epoch=1, batch_size=64, lr=1e-3, dropout=0.0,
+                         att_dropout=0.0, fuse_steps=fuse,
+                         frozen_memory=frozen)]
+    cfg = parse_config_dict(raw)
+    eng = Engine(data, cfg)
+    stats = eng.train_epoch()
+    return eng.params, stats
+
+
+@pytest.mark.parametrize("frozen", [True, False],
+                         ids=["frozen-memory", "mailbox-memory"])
+def test_fused_steps_exact(tiny_data, frozen):
+    """fuse_steps scans the SAME per-batch step body, so with dropout off
+    (the only RNG consumer) a fused epoch must equal the per-batch epoch:
+    same final params, same on-device epoch metrics."""
+    import jax
+
+    p1, s1 = _epoch_with_fuse(tiny_data, 0, frozen)
+    p2, s2 = _epoch_with_fuse(tiny_data, 4, frozen)
+    assert s1["events"] == s2["events"]
+    np.testing.assert_allclose(s1["loss"], s2["loss"], rtol=1e-5)
+    np.testing.assert_allclose(s1["ap"], s2["ap"], rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat2 = jax.tree_util.tree_leaves(p2)
+    assert len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-7)

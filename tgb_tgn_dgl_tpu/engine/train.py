@@ -170,7 +170,11 @@ class Engine:
         self._blocks: Dict[str, np.ndarray] = {}
         self._jit = jit
         self._train_step = self._build_train_step()
+        self._fused_train_step = (self._build_fused_train_step()
+                                  if tr.fuse_steps > 1 else None)
         self._eval_fwd = self._build_eval_forward()
+        self._fused_eval_step = (self._build_fused_eval_step()
+                                 if tr.fuse_steps > 1 else None)
 
     # ------------------------------------------------------------ builders
     # The device steps take a compact WirePack and rebuild the padded
@@ -230,6 +234,7 @@ class Engine:
                 acc = train_metrics(acc, loss, pos, neg, pack.ev_valid)
                 return params, opt_state, mem_state, loss, pos, neg, acc
 
+            self._train_step_raw = step
             if self._jit:
                 return jax.jit(step, donate_argnums=(0, 1, 2, 6),
                                static_argnums=(7,))
@@ -265,6 +270,7 @@ class Engine:
                 acc = train_metrics(acc, loss, pos, neg, pack.ev_valid)
                 return params, opt_state, mem_state, loss, pos, neg, acc
 
+            self._train_step_raw = step
             if self._jit:
                 return jax.jit(step, donate_argnums=(0, 1, 2, 6),
                                static_argnums=(7,))
@@ -286,10 +292,61 @@ class Engine:
             acc = train_metrics(acc, loss, pos, neg, pack.ev_valid)
             return params, opt_state, loss, pos, neg, acc
 
+        self._train_step_raw = step
         if self._jit:
             return jax.jit(step, donate_argnums=(0, 1, 6),
                            static_argnums=(7,))
         return step
+
+    def _build_fused_train_step(self):
+        """G same-shape batches in ONE dispatch: lax.scan of the per-batch
+        step body over stacked WirePacks.  Remote dispatch latency (up to
+        ~0.4 s/call on tunneled backends) makes per-batch dispatch the
+        epoch wall; the scanned program is byte-identical math to the
+        per-batch step (tests/test_engine.py::test_fused_steps_exact)."""
+        body = self._train_step_raw
+
+        if self.use_memory:
+            def fused(params, opt_state, mem_state, feats, wires, rng, acc,
+                      intra_width):
+                def scan_body(carry, wire):
+                    params, opt_state, mem_state, acc, rng = carry
+                    rng, sk = jax.random.split(rng)
+                    params, opt_state, mem_state, loss, _p, _n, acc = body(
+                        params, opt_state, mem_state, feats, wire, sk, acc,
+                        intra_width)
+                    return (params, opt_state, mem_state, acc, rng), loss
+
+                (params, opt_state, mem_state, acc, _), losses = \
+                    jax.lax.scan(
+                        scan_body, (params, opt_state, mem_state, acc, rng),
+                        wires)
+                # losses[-1] is the (undonated) completion handle
+                return params, opt_state, mem_state, acc, losses[-1]
+
+            if self._jit:
+                return jax.jit(fused, donate_argnums=(0, 1, 2, 6),
+                               static_argnums=(7,))
+            return fused
+
+        def fused(params, opt_state, memory, feats, wires, rng, acc,
+                  intra_width):
+            def scan_body(carry, wire):
+                params, opt_state, acc, rng = carry
+                rng, sk = jax.random.split(rng)
+                params, opt_state, loss, _p, _n, acc = body(
+                    params, opt_state, memory, feats, wire, sk, acc,
+                    intra_width)
+                return (params, opt_state, acc, rng), loss
+
+            (params, opt_state, acc, _), losses = jax.lax.scan(
+                scan_body, (params, opt_state, acc, rng), wires)
+            return params, opt_state, acc, losses[-1]
+
+        if self._jit:
+            return jax.jit(fused, donate_argnums=(0, 1, 6),
+                           static_argnums=(7,))
+        return fused
 
     def _build_eval_forward(self):
         model_cfg = self.model_cfg
@@ -324,6 +381,7 @@ class Engine:
             batch_mean = rr.sum() / jnp.maximum(valid.sum(), 1)
             return acc + jnp.stack([batch_mean, jnp.float32(1.0)])
 
+        self._eval_score_raw = score_counts
         self._eval_score = (jax.jit(score_counts, donate_argnums=(3, 4))
                             if self._jit else score_counts)
         self._eval_finalize = (jax.jit(finalize, donate_argnums=(0,))
@@ -350,6 +408,7 @@ class Engine:
                                          pack.mw_eid)
                 return embed, mem_state
 
+            self._eval_fwd_raw = fwd
             if self._jit:
                 return jax.jit(fwd, donate_argnums=(1,), static_argnums=(4,))
             return fwd
@@ -371,6 +430,7 @@ class Engine:
                                    pack.mw_t, pack.mw_eid)
                 return embed, mem_state
 
+            self._eval_fwd_raw = fwd
             if self._jit:
                 return jax.jit(fwd, donate_argnums=(1,), static_argnums=(4,))
             return fwd
@@ -381,7 +441,53 @@ class Engine:
                                train=False)
             return embed
 
+        self._eval_fwd_raw = fwd
         return jax.jit(fwd, static_argnums=(4,)) if self._jit else fwd
+
+    def _build_fused_eval_step(self):
+        """G same-shape negative-chunk (forward + score) phases in ONE
+        dispatch via lax.scan.  The TGB M=999 protocol runs ~M/Mc chunks
+        per batch (engine.evaluate); per-chunk dispatch over a tunneled
+        backend dominates eval wall-clock the same way per-batch dispatch
+        dominates train (see _build_fused_train_step).  Rank counts are
+        additive across chunks, so scanning them is exact."""
+        fwd = self._eval_fwd_raw
+        score = self._eval_score_raw
+
+        if self.use_memory:
+            def fused(params, mem_state, feats, wires, opt, pes,
+                      intra_width):
+                def body(carry, wire):
+                    mem_state, opt, pes = carry
+                    embed, mem_state = fwd(params, mem_state, feats, wire,
+                                           intra_width)
+                    _pos, opt, pes = score(params, embed, wire, opt, pes)
+                    return (mem_state, opt, pes), None
+
+                (mem_state, opt, pes), _ = jax.lax.scan(
+                    body, (mem_state, opt, pes), wires)
+                # opt.sum() = fresh (undonated) completion handle
+                return mem_state, opt, pes, opt.sum()
+
+            if self._jit:
+                return jax.jit(fused, donate_argnums=(1, 4, 5),
+                               static_argnums=(6,))
+            return fused
+
+        def fused(params, memory, feats, wires, opt, pes, intra_width):
+            def body(carry, wire):
+                opt, pes = carry
+                embed = fwd(params, memory, feats, wire, intra_width)
+                _pos, opt, pes = score(params, embed, wire, opt, pes)
+                return (opt, pes), None
+
+            (opt, pes), _ = jax.lax.scan(body, (opt, pes), wires)
+            return opt, pes, opt.sum()
+
+        if self._jit:
+            return jax.jit(fused, donate_argnums=(4, 5),
+                           static_argnums=(6,))
+        return fused
 
     # ------------------------------------------------------------- batching
     def blocks_for(self, split: str) -> np.ndarray:
@@ -443,27 +549,77 @@ class Engine:
         sanity = self.config.train.sanity_batches
         inflight = []  # completion throttle (train.max_inflight_batches)
         max_inflight = self.config.train.max_inflight_batches
+        G = (self.config.train.fuse_steps
+             if self._fused_train_step is not None else 1)
+
+        def throttle(handle):
+            inflight.append(handle)
+            if max_inflight and len(inflight) > max_inflight:
+                jax.block_until_ready(inflight.pop(0))
+
+        def dispatch_one(wire, iw, acc):
+            self._rng, sk = jax.random.split(self._rng)
+            if self.use_memory:
+                (self.params, self.opt_state, self.mem_state, loss, _pos,
+                 _neg, acc) = self._train_step(
+                    self.params, self.opt_state, self.mem_state,
+                    self.feats, wire, sk, acc, iw)
+            else:
+                (self.params, self.opt_state, loss, _pos, _neg,
+                 acc) = self._train_step(self.params, self.opt_state,
+                                         self.memory, self.feats, wire,
+                                         sk, acc, iw)
+            throttle(loss)
+            return acc
+
+        def dispatch_group(wires_list, iw, acc):
+            from ..ops.wire import WirePack
+            stacked = WirePack(*(np.stack([getattr(w, f) for w in
+                                           wires_list])
+                                 for f in WirePack._fields))
+            self._rng, sk = jax.random.split(self._rng)
+            if self.use_memory:
+                (self.params, self.opt_state, self.mem_state, acc,
+                 handle) = self._fused_train_step(
+                    self.params, self.opt_state, self.mem_state,
+                    self.feats, stacked, sk, acc, iw)
+            else:
+                (self.params, self.opt_state, acc,
+                 handle) = self._fused_train_step(
+                    self.params, self.opt_state, self.memory, self.feats,
+                    stacked, sk, acc, iw)
+            throttle(handle)
+            return acc
+
+        # Group consecutive SAME-SHAPE wires into one fused dispatch;
+        # stragglers (shape-bucket growth, epoch tail) go per-batch.
+        # Dispatch order always equals pack order — the host packer is
+        # stateful and the device memory stream must follow it.
+        pending = []
+        pend_key = None
         for lo, hi, wire, iw in self._prefetch("train"):
             if sanity and nb >= sanity:
                 # debug short-circuit (reference epoch_utils.py:188-192)
                 break
             nb += 1
-            self._rng, sk = jax.random.split(self._rng)
-            if self.use_memory:
-                (self.params, self.opt_state, self.mem_state, loss, pos,
-                 neg_out, acc) = self._train_step(
-                    self.params, self.opt_state, self.mem_state,
-                    self.feats, wire, sk, acc, iw)
-            else:
-                (self.params, self.opt_state, loss, pos, neg_out,
-                 acc) = self._train_step(self.params, self.opt_state,
-                                         self.memory, self.feats, wire,
-                                         sk, acc, iw)
             total += hi - lo
             self._step += 1
-            inflight.append(loss)
-            if max_inflight and len(inflight) > max_inflight:
-                jax.block_until_ready(inflight.pop(0))
+            if G > 1:
+                key = (iw,) + tuple(np.shape(a) for a in wire)
+                if pending and key != pend_key:
+                    for w in pending:
+                        acc = dispatch_one(w, pend_iw, acc)
+                    pending = []
+                pend_key = key
+                pend_iw = iw
+                pending.append(wire)
+                if len(pending) == G:
+                    acc = dispatch_group(pending, iw, acc)
+                    pending = []
+            else:
+                acc = dispatch_one(wire, iw, acc)
+        for w in pending:
+            acc = dispatch_one(w, pend_iw, acc)
         vals = np.asarray(acc)                           # ONE fetch
         nb = max(vals[3], 1.0)
         return {"loss": float(vals[0]), "ap": float(vals[1] / nb),
@@ -481,6 +637,44 @@ class Engine:
         acc = jnp.zeros(2, jnp.float32)
         inflight = []
         max_inflight = self.config.train.max_inflight_batches
+        G = (self.config.train.fuse_steps
+             if self._fused_eval_step is not None else 1)
+
+        def throttle(handle):
+            inflight.append(handle)
+            if max_inflight and len(inflight) > max_inflight:
+                jax.block_until_ready(inflight.pop(0))
+
+        def dispatch_chunk(wire, iw, opt, pes):
+            if self.use_memory:
+                embed, self.mem_state = self._eval_fwd(
+                    self.params, self.mem_state, self.feats, wire, iw)
+            else:
+                embed = self._eval_fwd(self.params, self.memory,
+                                       self.feats, wire, iw)
+            pos, opt, pes = self._eval_score(self.params, embed, wire,
+                                             opt, pes)
+            throttle(pos)
+            return opt, pes
+
+        def dispatch_chunks(pend, iw, opt, pes):
+            """Fused (≥2 chunks, one lax.scan dispatch) or single."""
+            if len(pend) == 1:
+                return dispatch_chunk(pend[0], iw, opt, pes)
+            from ..ops.wire import WirePack
+            stacked = WirePack(*(np.stack([getattr(w, f) for w in pend])
+                                 for f in WirePack._fields))
+            if self.use_memory:
+                self.mem_state, opt, pes, handle = self._fused_eval_step(
+                    self.params, self.mem_state, self.feats, stacked,
+                    opt, pes, iw)
+            else:
+                opt, pes, handle = self._fused_eval_step(
+                    self.params, self.memory, self.feats, stacked,
+                    opt, pes, iw)
+            throttle(handle)
+            return opt, pes
+
         for lo, hi, rows, blk in self._iter_batches(split):
             src, dst, t = d.src[rows], d.dst[rows], d.t[rows]
             neg, _mask = fixed.query_batch(lo, hi)
@@ -492,6 +686,8 @@ class Engine:
             n_chunks = -(-M // Mc)
             opt = jnp.zeros(B, jnp.int32)
             pes = jnp.zeros(B, jnp.int32)
+            pend = []
+            pend_key = pend_iw = None
             for ci in range(n_chunks):
                 last = ci == n_chunks - 1
                 neg_c = neg2d[:, ci * Mc:(ci + 1) * Mc]
@@ -501,17 +697,22 @@ class Engine:
                 wire, iw = self.packer.pack_wire(
                     src, dst, t, rows, blk, neg_c, eval_mode=True,
                     insert=last, write_mail=last)
-                if self.use_memory:
-                    embed, self.mem_state = self._eval_fwd(
-                        self.params, self.mem_state, self.feats, wire, iw)
-                else:
-                    embed = self._eval_fwd(self.params, self.memory,
-                                           self.feats, wire, iw)
-                pos, opt, pes = self._eval_score(self.params, embed, wire,
-                                                 opt, pes)
-                inflight.append(pos)
-                if max_inflight and len(inflight) > max_inflight:
-                    jax.block_until_ready(inflight.pop(0))
+                if not last and G > 1:
+                    key = (iw,) + tuple(np.shape(a) for a in wire)
+                    if pend and key != pend_key:
+                        opt, pes = dispatch_chunks(pend, pend_iw, opt, pes)
+                        pend = []
+                    pend_key, pend_iw = key, iw
+                    pend.append(wire)
+                    if len(pend) == G:
+                        opt, pes = dispatch_chunks(pend, iw, opt, pes)
+                        pend = []
+                    continue
+                if pend:
+                    opt, pes = dispatch_chunks(pend, pend_iw, opt, pes)
+                    pend = []
+                # the LAST chunk advances stream state -> per-chunk path
+                opt, pes = dispatch_chunk(wire, iw, opt, pes)
             valid = jnp.asarray(np.arange(B) < (hi - lo))
             acc = self._eval_finalize(acc, opt, pes, valid)
         vals = np.asarray(acc)                           # ONE fetch

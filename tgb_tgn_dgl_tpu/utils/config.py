@@ -117,6 +117,13 @@ class TrainConfig:
     # host fetch) before dispatching more.  Unbounded dispatch bursts
     # can wedge remote/tunneled TPU runtimes.
     max_inflight_batches: int = 8
+    # Fuse this many consecutive same-shape train batches into ONE device
+    # dispatch (a lax.scan over stacked WirePacks).  Dispatch latency on
+    # tunneled/remote TPU runtimes can reach 0.4 s per call, so per-batch
+    # dispatch — not compute — is the epoch wall; fusing G steps cuts the
+    # dispatch count G×.  Exact: the scanned body is the same program as
+    # the per-batch step.  0/1 = off.
+    fuse_steps: int = 8
 
 
 @dataclass
