@@ -47,7 +47,7 @@ def attention_core_reference(el_prime: jnp.ndarray, er: jnp.ndarray,
 def _fwd_kernel(e_ref, er_ref, m_ref, out_ref, a_ref, slope_ref):
     e = e_ref[:].astype(jnp.float32)          # (TR, Kp)
     er = er_ref[:].astype(jnp.float32)        # (TR, 1)
-    m = m_ref[:]                              # (TR, Kp) int8 mask
+    m = m_ref[:]                              # (TR, Kp) int32 mask
     x = e + er
     logits = jnp.where(x >= 0, x, x * slope_ref[0, 0])
     logits = jnp.where(m > 0, logits, NEG_INF)
@@ -157,8 +157,10 @@ def _flatten(el_prime, er, mask):
     R, Kp, H = el_prime.shape
     e2 = jnp.transpose(el_prime, (0, 2, 1)).reshape(R * H, Kp)
     er2 = er.reshape(R * H, 1)
+    # int32 mask: Mosaic on TPU rejects sub-word (int8) vector compares
+    # ("Target does not support this comparison", v5e)
     m2 = jnp.broadcast_to(mask[:, None, :], (R, H, Kp)).reshape(
-        R * H, Kp).astype(jnp.int8)
+        R * H, Kp).astype(jnp.int32)
     return e2, er2, m2
 
 
