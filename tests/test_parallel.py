@@ -48,7 +48,12 @@ def test_sharded_step_matches_single_device():
         batch_size=64, num_nodes=256, msg_dim=16, hidden=32, heads=4, seed=3)
     # disable dropout so single vs sharded rngs agree
     model_cfg = model_cfg._replace(feat_drop=0.0, attn_drop=0.0)
-    optimizer = optax.adam(1e-3)
+    # SGD, not Adam: Adam's first step is ~lr*sign(grad), so a near-zero
+    # gradient coordinate whose SIGN differs between the two layouts'
+    # reduction orders produces a full 2*lr param difference — an
+    # amplifier of benign fp reassociation, not a layout bug.  SGD keeps
+    # the comparison linear in the gradient.
+    optimizer = optax.sgd(1e-2)
     rng = jax.random.PRNGKey(0)
 
     def single_step(params, memory, feats, pack):

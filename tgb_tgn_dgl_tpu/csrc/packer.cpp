@@ -520,7 +520,7 @@ void packer_pack_fill(
 // Phase 2 (wire): emit the compact WirePack arrays directly — no full
 // (R, Kp) grids are materialized on the host at all.  Pad conventions
 // match ops/wire.py::pack_to_wire exactly (tests/test_native_packer.py).
-void packer_pack_fill_wire(
+static void fill_wire_impl(
     void* h, int64_t b_bucket, int64_t r_bucket, int32_t insert,
     int32_t write_mail,
     // event outputs (B,)
@@ -537,7 +537,11 @@ void packer_pack_fill_wire(
     int32_t* ia_feat, float* ia_dt,
     // write plan
     int32_t* mw_node, int32_t* mw_slot, int32_t* mw_partner, float* mw_t,
-    int32_t* mw_eid) {
+    int32_t* mw_eid,
+    // multi-layer rslot outputs (nullable; data/packer.py nbr_rslot):
+    // same-block root-slot per in-edge, -1 when the source is not rooted
+    // in the row's dependency block
+    int32_t* cache_rslot, int32_t* ia_rslot) {
   auto* p = static_cast<Packer*>(h);
   auto& pb = p->pending;
   const int32_t K = p->K;
@@ -562,6 +566,10 @@ void packer_pack_fill_wire(
     ia_feat[i] = 0;
     ia_dt[i] = 0.0f;
   }
+  if (cache_rslot)
+    for (int64_t i = 0; i < r_bucket * K; ++i) cache_rslot[i] = -1;
+  if (ia_rslot)
+    for (int64_t i = 0; i < ei_bucket; ++i) ia_rslot[i] = -1;
   {
     const std::vector<int32_t>& uniq = pb.uniq;
     int64_t U = (int64_t)uniq.size();
@@ -593,6 +601,16 @@ void packer_pack_fill_wire(
       p->clock[pb.src[i]] = pb.t[i];
     }
 
+    // same-block root lookup (sorted-unique roots of this block)
+    const int32_t* rbeg = pb.root_nid.data() + pb.offsets[blk];
+    const int32_t* rend = pb.root_nid.data() + pb.offsets[blk + 1];
+    auto rslot_of = [&](int32_t node) -> int32_t {
+      const int32_t* it = std::lower_bound(rbeg, rend, node);
+      if (it != rend && *it == node)
+        return (int32_t)(pb.offsets[blk] + (it - rbeg));
+      return -1;
+    };
+
     for (int64_t s2 = pb.offsets[blk]; s2 < pb.offsets[blk + 1]; ++s2) {
       int32_t u = pb.root_nid[s2];
       root_loc[s2] = p->loc_of[u];
@@ -605,6 +623,7 @@ void packer_pack_fill_wire(
           cache_loc[row + j] = p->loc_of[nb];
           cache_feat[row + j] = (int32_t)e;
           cache_dt[row + j] = p->cache_t[base + j] - p->clock[nb];
+          if (cache_rslot) cache_rslot[row + j] = rslot_of(nb);
         }
       }
       self_dt[s2] = 0.0f - p->clock[u];
@@ -621,6 +640,7 @@ void packer_pack_fill_wire(
           ia_loc[ia_cursor] = p->loc_of[partner];
           ia_feat[ia_cursor] = (int32_t)pb.ev_idx[pos];
           ia_dt[ia_cursor] = pb.t[pos] - p->clock[partner];
+          if (ia_rslot) ia_rslot[ia_cursor] = rslot_of(partner);
           ++ia_cursor;
         }
       }
@@ -686,6 +706,49 @@ void packer_pack_fill_wire(
                   pb.ev_idx.data(), braw);
   }
   pb = PendingBatch();
+}
+
+void packer_pack_fill_wire(
+    void* h, int64_t b_bucket, int64_t r_bucket, int32_t insert,
+    int32_t write_mail,
+    int32_t* ev_src, int32_t* ev_dst, float* ev_t, int32_t* ev_idx_out,
+    uint8_t* ev_valid, int32_t* ev_neg,
+    int32_t* ev_src_slot, int32_t* ev_pos_slot, int32_t* ev_neg_slot,
+    int64_t u_bucket, int32_t* uniq_nid, int32_t* root_loc,
+    int32_t* cache_loc, int32_t* cache_feat, float* cache_dt,
+    float* self_dt,
+    int64_t ei_bucket, int32_t* ia_row, int32_t* ia_col, int32_t* ia_loc,
+    int32_t* ia_feat, float* ia_dt,
+    int32_t* mw_node, int32_t* mw_slot, int32_t* mw_partner, float* mw_t,
+    int32_t* mw_eid) {
+  fill_wire_impl(h, b_bucket, r_bucket, insert, write_mail, ev_src, ev_dst,
+                 ev_t, ev_idx_out, ev_valid, ev_neg, ev_src_slot,
+                 ev_pos_slot, ev_neg_slot, u_bucket, uniq_nid, root_loc,
+                 cache_loc, cache_feat, cache_dt, self_dt, ei_bucket,
+                 ia_row, ia_col, ia_loc, ia_feat, ia_dt, mw_node, mw_slot,
+                 mw_partner, mw_t, mw_eid, nullptr, nullptr);
+}
+
+// layers > 1 variant: also emits the same-block root-slot indices
+void packer_pack_fill_wire2(
+    void* h, int64_t b_bucket, int64_t r_bucket, int32_t insert,
+    int32_t write_mail,
+    int32_t* ev_src, int32_t* ev_dst, float* ev_t, int32_t* ev_idx_out,
+    uint8_t* ev_valid, int32_t* ev_neg,
+    int32_t* ev_src_slot, int32_t* ev_pos_slot, int32_t* ev_neg_slot,
+    int64_t u_bucket, int32_t* uniq_nid, int32_t* root_loc,
+    int32_t* cache_loc, int32_t* cache_feat, float* cache_dt,
+    float* self_dt,
+    int64_t ei_bucket, int32_t* ia_row, int32_t* ia_col, int32_t* ia_loc,
+    int32_t* ia_feat, float* ia_dt,
+    int32_t* mw_node, int32_t* mw_slot, int32_t* mw_partner, float* mw_t,
+    int32_t* mw_eid, int32_t* cache_rslot, int32_t* ia_rslot) {
+  fill_wire_impl(h, b_bucket, r_bucket, insert, write_mail, ev_src, ev_dst,
+                 ev_t, ev_idx_out, ev_valid, ev_neg, ev_src_slot,
+                 ev_pos_slot, ev_neg_slot, u_bucket, uniq_nid, root_loc,
+                 cache_loc, cache_feat, cache_dt, self_dt, ei_bucket,
+                 ia_row, ia_col, ia_loc, ia_feat, ia_dt, mw_node, mw_slot,
+                 mw_partner, mw_t, mw_eid, cache_rslot, ia_rslot);
 }
 
 }  // extern "C"

@@ -62,6 +62,9 @@ def _lib():
             i32p, i32p, f32p, f32p,                      # cache + self_dt
             c.c_int64, i32p, i32p, i32p, i32p, f32p,     # intra COO
             i32p, i32p, i32p, f32p, i32p]                # write plan
+        if hasattr(lib, "packer_pack_fill_wire2"):
+            lib.packer_pack_fill_wire2.argtypes = (
+                lib.packer_pack_fill_wire.argtypes + [i32p, i32p])
         _DECLARED = True
     return lib
 
@@ -173,6 +176,9 @@ class NativeStreamPacker:
     def pack(self, src, dst, t, ev_idx, blocks, neg,
              eval_mode: bool = False, insert: bool = True,
              write_mail: bool = True) -> Pack:
+        assert self.cfg.layers == 1, (
+            "native full-grid pack() emits no nbr_rslot; the engine path "
+            "(pack_wire) supports layers > 1")
         cfg = self.cfg
         lib = self._lib
         K = cfg.num_neighbors
@@ -317,16 +323,31 @@ class NativeStreamPacker:
         mw_t = np.empty(W, np.float32)
         mw_eid = np.empty(W, np.int32)
 
-        lib.packer_pack_fill_wire(
-            self._h, B, R, int(insert), int(write_mail),
-            ev_src, ev_dst, ev_t, ev_idx_out, ev_valid, ev_neg,
-            ev_src_slot, ev_pos_slot, ev_neg_slot,
-            Ub, uniq_nid, root_loc,
-            cache_loc, cache_feat, cache_dt, self_dt,
-            Ei, ia_row, ia_col, ia_loc, ia_feat, ia_dt,
-            mw_node, mw_slot, mw_partner, mw_t, mw_eid)
+        cache_rslot = ia_rslot = None
+        if cfg.layers > 1:
+            cache_rslot = np.empty((R, K), np.int32)
+            ia_rslot = np.empty(Ei, np.int32)
+            lib.packer_pack_fill_wire2(
+                self._h, B, R, int(insert), int(write_mail),
+                ev_src, ev_dst, ev_t, ev_idx_out, ev_valid, ev_neg,
+                ev_src_slot, ev_pos_slot, ev_neg_slot,
+                Ub, uniq_nid, root_loc,
+                cache_loc, cache_feat, cache_dt, self_dt,
+                Ei, ia_row, ia_col, ia_loc, ia_feat, ia_dt,
+                mw_node, mw_slot, mw_partner, mw_t, mw_eid,
+                cache_rslot, ia_rslot)
+        else:
+            lib.packer_pack_fill_wire(
+                self._h, B, R, int(insert), int(write_mail),
+                ev_src, ev_dst, ev_t, ev_idx_out, ev_valid, ev_neg,
+                ev_src_slot, ev_pos_slot, ev_neg_slot,
+                Ub, uniq_nid, root_loc,
+                cache_loc, cache_feat, cache_dt, self_dt,
+                Ei, ia_row, ia_col, ia_loc, ia_feat, ia_dt,
+                mw_node, mw_slot, mw_partner, mw_t, mw_eid)
 
         wire = WirePack(
+            cache_rslot=cache_rslot, ia_rslot=ia_rslot,
             ev_src=ev_src, ev_dst=ev_dst, ev_t=ev_t, ev_idx=ev_idx_out,
             ev_valid=ev_valid.astype(bool),
             ev_neg=ev_neg if M > 1 else ev_neg[:, 0],
@@ -355,5 +376,9 @@ def make_stream_packer(num_nodes: int, cfg: PackerConfig,
 
     if (prefer_native and cfg.strategy == "recent" and build_if_needed()
             and available()):
-        return NativeStreamPacker(num_nodes, cfg)
+        lib = _lib()
+        # layers > 1 needs the rslot-emitting entry (rebuild the lib via
+        # data/build_hostops if an old .so is loaded)
+        if cfg.layers == 1 or hasattr(lib, "packer_pack_fill_wire2"):
+            return NativeStreamPacker(num_nodes, cfg)
     return StreamPacker(num_nodes, cfg)

@@ -70,6 +70,14 @@ class DevicePack(NamedTuple):
     mw_partner: "np.ndarray"
     mw_t: "np.ndarray"
     mw_eid: "np.ndarray"
+    # multi-layer support (PackerConfig.layers > 1): per in-edge, the root
+    # slot of (source node, SAME dependency block), or -1.  Layer l>1 reads
+    # the source's layer-(l-1) embedding through this index; -1 = the
+    # source has no root slot in this block, so its features pass through
+    # unchanged (the reference's zero-in-degree identity residual,
+    # model_utils.py:567-577 + commented layer stack :669-686).  None when
+    # layers == 1.
+    nbr_rslot: "Optional[np.ndarray]" = None
 
 
 class Pack(NamedTuple):
@@ -110,6 +118,9 @@ class Pack(NamedTuple):
     num_blocks: int
     num_real_events: int
     num_real_roots: int
+    # (R, Kp) same-block root-slot index per in-edge (see DevicePack);
+    # None when PackerConfig.layers == 1
+    nbr_rslot: Optional[np.ndarray] = None
 
     def device(self) -> DevicePack:
         return DevicePack(**{f: getattr(self, f)
@@ -148,6 +159,9 @@ class PackerConfig:
     strategy: str = "recent"         # 'recent' | 'uniform' (TGL sampler knob)
     mailbox_size: int = 1            # S (config memory.mailbox_size)
     seed: int = 0
+    # gnn.layer: >1 emits nbr_rslot for stacked attention layers over the
+    # same in-edge grid (reference model_utils.py:669-686 semantics)
+    layers: int = 1
 
 
 class StreamPacker:
@@ -411,6 +425,30 @@ class StreamPacker:
                     nbr_feat[off + j, col] = ev_idx[take]
                     nbr_dt[off + j, col] = t[take] - self.clock[partners]
 
+        # --- multi-layer: same-block root-slot index per in-edge ----------
+        # Layer l>1 reads a source's layer-(l-1) embedding iff the source
+        # has a root slot in the SAME dependency block (the reference's
+        # commented layer stack runs every conv over one in_subgraph whose
+        # vertices are that sub-block's roots, model_utils.py:99,669-686;
+        # a non-root source has zero in-degree there and passes its input
+        # through the identity residual, :567-577,541-546).
+        nbr_rslot = None
+        if cfg.layers > 1:
+            nbr_rslot = np.full((R, Kp), -1, np.int32)
+            for i in range(k):
+                off = offsets[i]
+                roots_i = root_nid_parts[i]            # sorted unique
+                n_i = len(roots_i)
+                if n_i == 0:
+                    continue
+                rows = slice(off, off + n_i)
+                sub_nid = nbr_nid[rows]
+                idx = np.searchsorted(roots_i, sub_nid)
+                idxc = np.minimum(idx, n_i - 1)
+                found = ((roots_i[idxc] == sub_nid)
+                         & (nbr_kind[rows] != KIND_INVALID))
+                nbr_rslot[rows] = np.where(found, off + idxc, -1)
+
         # --- memory read set + local index maps ---------------------------
         # uniq = every node whose memory rows the model reads: roots
         # (event endpoints + negatives) ∪ cache neighbors.  Intra-batch
@@ -494,6 +532,7 @@ class StreamPacker:
             num_blocks=k,
             num_real_events=Braw,
             num_real_roots=total_roots,
+            nbr_rslot=nbr_rslot,
         )
 
         if insert:
@@ -531,6 +570,9 @@ class StreamPacker:
                     [wire.ia_feat, np.zeros(pad, np.int32)]),
                 ia_dt=np.concatenate(
                     [wire.ia_dt, np.zeros(pad, np.float32)]),
+                ia_rslot=(np.concatenate(
+                    [wire.ia_rslot, np.full(pad, -1, np.int32)])
+                    if wire.ia_rslot is not None else None),
             )
         return wire, pack.nbr_kind.shape[1] - K - 1
 

@@ -97,6 +97,7 @@ class Engine:
             mailbox_size=config.memory.mailbox_size,
             strategy=config.sampling.strategy,
             seed=tr.seed,
+            layers=config.gnn.layer,
         ))
         if config.sampling.strategy == "uniform":
             from ..data.tcsr import build_tcsr
@@ -574,9 +575,10 @@ class Engine:
 
         def dispatch_group(wires_list, iw, acc):
             from ..ops.wire import WirePack
-            stacked = WirePack(*(np.stack([getattr(w, f) for w in
-                                           wires_list])
-                                 for f in WirePack._fields))
+            stacked = WirePack(*(
+                (np.stack([getattr(w, f) for w in wires_list])
+                 if getattr(wires_list[0], f) is not None else None)
+                for f in WirePack._fields))
             self._rng, sk = jax.random.split(self._rng)
             if self.use_memory:
                 (self.params, self.opt_state, self.mem_state, acc,
@@ -662,8 +664,10 @@ class Engine:
             if len(pend) == 1:
                 return dispatch_chunk(pend[0], iw, opt, pes)
             from ..ops.wire import WirePack
-            stacked = WirePack(*(np.stack([getattr(w, f) for w in pend])
-                                 for f in WirePack._fields))
+            stacked = WirePack(*(
+                (np.stack([getattr(w, f) for w in pend])
+                 if getattr(pend[0], f) is not None else None)
+                for f in WirePack._fields))
             if self.use_memory:
                 self.mem_state, opt, pes, handle = self._fused_eval_step(
                     self.params, self.mem_state, self.feats, stacked,

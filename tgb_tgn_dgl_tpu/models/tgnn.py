@@ -67,33 +67,47 @@ class TGNNConfig(NamedTuple):
 
 def init_tgnn(key, cfg: TGNNConfig) -> Dict:
     """Build the learnable pytree.  time_dim = hidden_dim (the reference
-    overrides its time_dim argument, model_utils.py:18)."""
-    if cfg.num_layers != 1:
-        raise NotImplementedError(
-            "gnn.layer must be 1: the reference's multi-layer attention "
-            "path is dead code (model_utils.py:669-686 commented out; "
-            "its active TemporalTransformerConv runs exactly one "
-            "EdgeGATConv) and the packed 1-hop grid mirrors that. "
-            "Multi-hop needs K-hop grid packing.")
+    overrides its time_dim argument, model_utils.py:18).
+
+    num_layers > 1 stacks EdgeGATConv layers over the SAME per-block
+    in-edge structure — the reference's (commented) multi-layer path,
+    model_utils.py:669-686: every conv runs over the sub-block's
+    ``in_subgraph``, so a layer-l source contributes its layer-(l-1)
+    output iff it is a root of the same block, else its input passes
+    through the zero-in-degree identity residual (:567-577,541-546).
+    Intermediate layers aggregate heads by MEAN (like the final layer;
+    the commented code's ``flatten(1)`` H·D concat would break the
+    fixed-width grid collapse — documented deviation on dead code).
+    Extra layers live under keys 'gat2', 'gat3', …; all have identical
+    shapes since memory_dim == hidden_dim."""
+    if cfg.num_layers < 1:
+        raise ValueError("gnn.layer must be >= 1")
     D = cfg.hidden_dim
     H = cfg.num_heads
     De = cfg.edge_feat_dim + D       # edge feat ⊕ time encoding
-    keys = jax.random.split(key, 12)
+
+    def gat_params(k):
+        ks = jax.random.split(k, 5)
+        return {
+            "fc_node": linear_xavier(ks[0], H * D, D),
+            "fc_edge": linear_xavier(ks[1], H * D, De),
+            "attn_l": xavier_normal(ks[2], (1, H, D))[0],
+            "attn_r": xavier_normal(ks[3], (1, H, D))[0],
+            "attn_e": xavier_normal(ks[4], (1, H, D))[0],
+        }
+
+    keys = jax.random.split(key, 4 + cfg.num_layers)
     params = {
         "time": init_time_encode(D),
-        "gat": {
-            "fc_node": linear_xavier(keys[0], H * D, D),
-            "fc_edge": linear_xavier(keys[1], H * D, De),
-            "attn_l": xavier_normal(keys[2], (1, H, D))[0],
-            "attn_r": xavier_normal(keys[3], (1, H, D))[0],
-            "attn_e": xavier_normal(keys[4], (1, H, D))[0],
-        },
+        "gat": gat_params(keys[0]),
         "pred": {
-            "src_fc": linear_default(keys[5], D, D),
-            "dst_fc": linear_default(keys[6], D, D),
-            "out_fc": linear_default(keys[7], 1, D),
+            "src_fc": linear_default(keys[1], D, D),
+            "dst_fc": linear_default(keys[2], D, D),
+            "out_fc": linear_default(keys[3], 1, D),
         },
     }
+    for l in range(2, cfg.num_layers + 1):
+        params[f"gat{l}"] = gat_params(keys[2 + l])
     # residual: Identity when node_feats == out_feats (model_utils.py:541-546)
     # — always true here since memory_dim == hidden_dim.
     return params
@@ -166,41 +180,38 @@ def tgnn_embed(
     else:
         nf_src = mem_c[pack.nbr_nid]                # (R, Kp, D)
         nf_dst = mem_c[pack.root_nid]               # (R, D)
-    nf_src = dropout(k_nf, nf_src, cfg.feat_drop, det)
-    nf_dst = dropout(jax.random.fold_in(k_nf, 1), nf_dst, cfg.feat_drop, det)
-    e_in = dropout(k_ef, e_in, cfg.feat_drop, det)
+    def gat_layer(gat, src_in, dst_in, e_d, k_attn):
+        """One EdgeGATConv pass over the grid -> (R, D) head-mean +
+        identity residual (model_utils.py:565-612,688-697)."""
+        if cfg.message_mode == "scalar":
+            wl, bl = _fused_attn_proj(gat["fc_node"], gat["attn_l"])
+            wr, br = _fused_attn_proj(gat["fc_node"], gat["attn_r"])
+            we, be = _fused_attn_proj(gat["fc_edge"], gat["attn_e"])
+            el = src_in @ wl.astype(cdt) + bl.astype(cdt)   # (R, Kp, H)
+            er = dst_in @ wr.astype(cdt) + br.astype(cdt)   # (R, H)
+            ee = e_d @ we.astype(cdt) + be.astype(cdt)      # (R, Kp, H)
+            el_prime = el + ee
+            if cfg.use_pallas and (det or cfg.attn_drop == 0.0):
+                from ..ops.pallas_attention import attention_core
 
-    gat = params["gat"]
-    if cfg.message_mode == "scalar":
-        wl, bl = _fused_attn_proj(gat["fc_node"], gat["attn_l"])
-        wr, br = _fused_attn_proj(gat["fc_node"], gat["attn_r"])
-        we, be = _fused_attn_proj(gat["fc_edge"], gat["attn_e"])
-        el = nf_src @ wl.astype(cdt) + bl.astype(cdt)       # (R, Kp, H)
-        er = nf_dst @ wr.astype(cdt) + br.astype(cdt)       # (R, H)
-        ee = e_in @ we.astype(cdt) + be.astype(cdt)         # (R, Kp, H)
-        el_prime = el + ee
-        if cfg.use_pallas and (det or cfg.attn_drop == 0.0):
-            from ..ops.pallas_attention import attention_core
-
-            out = attention_core(el_prime, er, mask, cfg.negative_slope,
-                                 use_pallas=True,
-                                 interpret=cfg.pallas_interpret)
-        else:
-            logits = jax.nn.leaky_relu(el_prime + er[:, None, :],
-                                       cfg.negative_slope)
-            a = masked_softmax(logits, mask[..., None], axis=1)  # (R,Kp,H)
-            a = dropout(k_attn, a, cfg.attn_drop, det)
-            out = jnp.sum(a * el_prime, axis=1)                  # (R, H)
-        # identity residual + head mean: mean_h(out_h + nf_dst_d)
-        embed = nf_dst + jnp.mean(out.astype(cdt), axis=-1,
-                                  keepdims=True)
-    else:
+                out = attention_core(el_prime, er, mask,
+                                     cfg.negative_slope, use_pallas=True,
+                                     interpret=cfg.pallas_interpret)
+            else:
+                logits = jax.nn.leaky_relu(el_prime + er[:, None, :],
+                                           cfg.negative_slope)
+                a = masked_softmax(logits, mask[..., None], axis=1)
+                a = dropout(k_attn, a, cfg.attn_drop, det)
+                out = jnp.sum(a * el_prime, axis=1)          # (R, H)
+            # identity residual + head mean: mean_h(out_h + dst_in_d)
+            return dst_in + jnp.mean(out.astype(cdt), axis=-1,
+                                     keepdims=True)
         # corrected vector-message attention
-        node_p = apply_linear(gat["fc_node"], nf_src).reshape(
-            *nf_src.shape[:-1], H, D)                        # (R, Kp, H, D)
-        root_p = apply_linear(gat["fc_node"], nf_dst).reshape(-1, H, D)
-        edge_p = apply_linear(gat["fc_edge"], e_in).reshape(
-            *e_in.shape[:-1], H, D)
+        node_p = apply_linear(gat["fc_node"], src_in).reshape(
+            *src_in.shape[:-1], H, D)                        # (R, Kp, H, D)
+        root_p = apply_linear(gat["fc_node"], dst_in).reshape(-1, H, D)
+        edge_p = apply_linear(gat["fc_edge"], e_d).reshape(
+            *e_d.shape[:-1], H, D)
         el = jnp.sum(node_p * gat["attn_l"], -1)             # (R, Kp, H)
         er = jnp.sum(root_p * gat["attn_r"], -1)             # (R, H)
         ee = jnp.sum(edge_p * gat["attn_e"], -1)
@@ -210,7 +221,35 @@ def tgnn_embed(
         a = dropout(k_attn, a, cfg.attn_drop, det)
         msg = a[..., None] * (node_p + edge_p)               # (R, Kp, H, D)
         out = jnp.sum(msg, axis=1)                           # (R, H, D)
-        embed = jnp.mean(out + nf_dst[:, None, :], axis=1)
+        return jnp.mean(out + dst_in[:, None, :], axis=1)
+
+    L = cfg.num_layers
+    rslot = getattr(pack, "nbr_rslot", None)
+    if L > 1 and rslot is None:
+        raise ValueError("gnn.layer > 1 needs nbr_rslot in the pack "
+                         "(set PackerConfig.layers accordingly)")
+    embed = None
+    for l in range(L):
+        kl = rng if l == 0 else jax.random.fold_in(rng, l)
+        k_nf, k_ef, k_attn = (
+            (k_nf, k_ef, k_attn) if l == 0 else jax.random.split(kl, 3))
+        if l == 0:
+            src_in, dst_in = nf_src, nf_dst
+            gat = params["gat"]
+        else:
+            # layer l source features: layer-(l-1) output where the
+            # source is a root of the SAME block, else pass-through raw
+            # features (zero-in-degree identity residual)
+            safe = jnp.maximum(rslot, 0)
+            src_in = jnp.where((rslot >= 0)[..., None], embed[safe],
+                               nf_src)
+            dst_in = embed
+            gat = params[f"gat{l + 1}"]
+        src_d = dropout(k_nf, src_in, cfg.feat_drop, det)
+        dst_d = dropout(jax.random.fold_in(k_nf, 1), dst_in,
+                        cfg.feat_drop, det)
+        e_d = dropout(k_ef, e_in, cfg.feat_drop, det)
+        embed = gat_layer(gat, src_d, dst_d, e_d, k_attn)
     return embed.astype(jnp.float32)
 
 

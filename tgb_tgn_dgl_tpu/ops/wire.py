@@ -20,7 +20,7 @@ every real (row, col) pair is unique by host construction.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -55,6 +55,11 @@ class WirePack(NamedTuple):
     mw_partner: jnp.ndarray
     mw_t: jnp.ndarray
     mw_eid: jnp.ndarray
+    # multi-layer (gnn.layer > 1): same-block root-slot per in-edge or -1
+    # (data/packer.py nbr_rslot); the self column is derivable (own row).
+    # None when layers == 1.
+    cache_rslot: Optional[jnp.ndarray] = None   # (R, K)
+    ia_rslot: Optional[jnp.ndarray] = None      # (Ei,)
 
 
 def pack_to_wire(pack: Pack, num_neighbors: int) -> WirePack:
@@ -83,7 +88,14 @@ def pack_to_wire(pack: Pack, num_neighbors: int) -> WirePack:
     ia_loc[:n] = pack.nbr_loc[rows, full_cols]
     ia_feat[:n] = pack.nbr_feat[rows, full_cols]
     ia_dt[:n] = pack.nbr_dt[rows, full_cols]
+    cache_rslot = ia_rslot = None
+    if pack.nbr_rslot is not None:
+        cache_rslot = np.where(cache_kind == KIND_CACHE,
+                               pack.nbr_rslot[:, :K], -1).astype(np.int32)
+        ia_rslot = np.full(Ei, -1, np.int32)
+        ia_rslot[:n] = pack.nbr_rslot[rows, full_cols]
     return WirePack(
+        cache_rslot=cache_rslot, ia_rslot=ia_rslot,
         ev_src=pack.ev_src, ev_dst=pack.ev_dst, ev_t=pack.ev_t,
         ev_idx=pack.ev_idx, ev_valid=pack.ev_valid, ev_neg=pack.ev_neg,
         ev_src_slot=pack.ev_src_slot, ev_pos_slot=pack.ev_pos_slot,
@@ -127,6 +139,12 @@ def expand_wire(wire: WirePack, num_neighbors: int, intra_width: int,
         g = g.at[wire.ia_row, wire.ia_col].set(vals.astype(dtype))
         return g[:R]
 
+    # self-column rslot is the row's own slot (a root is always a root of
+    # its own block); -1 on padding rows
+    self_rslot = None
+    if wire.cache_rslot is not None:
+        self_rslot = jnp.where(root_valid,
+                               jnp.arange(R, dtype=jnp.int32), -1)
     if P > 0:
         ia_loc = scatter(pad_loc, wire.ia_loc, jnp.int32)
         ia_feat = scatter(0, wire.ia_feat, jnp.int32)
@@ -142,6 +160,10 @@ def expand_wire(wire: WirePack, num_neighbors: int, intra_width: int,
             [wire.cache_dt, self_dt[:, None], ia_dt], axis=1)
         nbr_kind = jnp.concatenate(
             [cache_kind, self_kind[:, None], ia_kind], axis=1)
+        nbr_rslot = (jnp.concatenate(
+            [wire.cache_rslot, self_rslot[:, None],
+             scatter(-1, wire.ia_rslot, jnp.int32)], axis=1)
+            if self_rslot is not None else None)
     else:
         nbr_loc = jnp.concatenate(
             [wire.cache_loc, wire.root_loc[:, None]], axis=1)
@@ -149,6 +171,9 @@ def expand_wire(wire: WirePack, num_neighbors: int, intra_width: int,
             [cache_feat, jnp.zeros((R, 1), jnp.int32)], axis=1)
         nbr_dt = jnp.concatenate([wire.cache_dt, self_dt[:, None]], axis=1)
         nbr_kind = jnp.concatenate([cache_kind, self_kind[:, None]], axis=1)
+        nbr_rslot = (jnp.concatenate(
+            [wire.cache_rslot, self_rslot[:, None]], axis=1)
+            if self_rslot is not None else None)
 
     # invalid cells in the full pack carry nid 0 / loc pad; clamp the
     # trash-row uniq id (num_nodes) to 0 for nid parity with Pack.device()
@@ -167,4 +192,5 @@ def expand_wire(wire: WirePack, num_neighbors: int, intra_width: int,
         uniq_nid=wire.uniq_nid, root_loc=wire.root_loc, nbr_loc=nbr_loc,
         mw_node=wire.mw_node, mw_slot=wire.mw_slot,
         mw_partner=wire.mw_partner, mw_t=wire.mw_t, mw_eid=wire.mw_eid,
+        nbr_rslot=nbr_rslot,
     )

@@ -71,13 +71,19 @@ def row_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("state"))
 
 
-def wire_shardings(mesh: Mesh):
+def wire_shardings(mesh: Mesh, layers: int = 1):
     """NamedShardings for each WirePack field: batch/root/COO leading
-    dims range-partitioned over 'dp'."""
+    dims range-partitioned over 'dp'.  The multi-layer rslot fields are
+    present (dp-sharded like their grids) only when layers > 1 — a
+    layer-1 wire carries None there and the pytrees must match."""
     from ..ops.wire import WirePack
 
     dp = NamedSharding(mesh, P("dp"))
-    return WirePack(**{f: dp for f in WirePack._fields})
+    sh = {f: dp for f in WirePack._fields}
+    if layers == 1:
+        sh["cache_rslot"] = None
+        sh["ia_rslot"] = None
+    return WirePack(**sh)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -69,7 +69,8 @@ def build_sharded_train_step(model_cfg: TGNNConfig, optimizer, mesh):
         mem = _pad_rows(memory, st_n)
         ft = _pad_rows(feats, st_n)
         dev = pack.device()
-        dev = DevicePack(*[_pad_leading(np.asarray(a), dp_n)
+        dev = DevicePack(*[(None if a is None
+                            else _pad_leading(np.asarray(a), dp_n))
                            for a in dev])
         params = jax.device_put(params, rep)
         opt_state = jax.device_put(opt_state, rep)
@@ -143,7 +144,9 @@ def build_sharded_memory_train_step(model_cfg: TGNNConfig,
             jax.device_put(_pad_rows(a, st_n), s)
             for a, s in zip(mem_state, mem_sh)])
         ft = jax.device_put(_pad_rows(feats, st_n), state_sh)
-        wire = WirePack(*[_pad_leading(np.asarray(a), dp_n) for a in wire])
+        wire = WirePack(*[(None if a is None
+                           else _pad_leading(np.asarray(a), dp_n))
+                          for a in wire])
         wire = jax.tree.map(lambda a, s: jax.device_put(a, s), wire,
                             wire_sh)
         params = jax.device_put(params, rep)
