@@ -39,7 +39,9 @@ def main():
         "sampling": [{"neighbor": [10], "num_thread": os.cpu_count()}],
         "gnn": [{"dim_out": 100, "att_head": 8, "layer": 1}],
         "train": [{"batch_size": 2000, "lr": 1e-4, "dropout": 0.2,
-                   "compute_dtype": "bfloat16"}],
+                   "compute_dtype": "bfloat16",
+                   "device_cache":
+                       os.environ.get("BENCH_DEVICE_CACHE", "0") == "1"}],
     })
     engine = Engine(data, config)
 

@@ -708,6 +708,195 @@ static void fill_wire_impl(
   pb = PendingBatch();
 }
 
+// Lean emission for device-cache mode (ops/lean_wire.py): event-only
+// wire — NO cache grids, NO clock reads, NO uniq table; the device owns
+// that state.  Must be bit-identical to data/lean_packer.py (the numpy
+// oracle, tests/test_lean.py).
+void packer_pack_fill_lean(
+    void* h, int64_t b_bucket, int64_t r_bucket, int32_t insert,
+    int32_t write_mail,
+    // events (B,)
+    int32_t* ev_src, int32_t* ev_dst, float* ev_t, int32_t* ev_idx_out,
+    uint8_t* ev_valid, int32_t* ev_neg,
+    int32_t* ev_src_slot, int32_t* ev_pos_slot, int32_t* ev_neg_slot,
+    // roots (R,)
+    int32_t* root_nid, int32_t* root_blk,
+    // intra COO (Ei,) sorted by (row, col)
+    int64_t ei_bucket, int32_t* ia_row, int32_t* ia_pos, int32_t* ia_side,
+    // mailbox write plan (2B,)
+    int32_t* mw_node, int32_t* mw_slot, int32_t* mw_partner, float* mw_t,
+    int32_t* mw_eid,
+    // resolved clock updates (Q,) sorted by (node, block)
+    int64_t q_bucket, int32_t* upd_node, int32_t* upd_blk, float* upd_t,
+    uint8_t* upd_last,
+    // eval wipe values (Kb,) + final
+    int64_t kb_bucket, float* wipe_t, float* wipe_final) {
+  auto* p = static_cast<Packer*>(h);
+  auto& pb = p->pending;
+  const int64_t braw = pb.braw, M = pb.M;
+  const int64_t P = pb.p_exact;
+  const int32_t N32 = (int32_t)p->N;
+
+  for (int64_t i = 0; i < r_bucket; ++i) {
+    root_nid[i] = N32;
+    root_blk[i] = 0;
+  }
+  for (int64_t i = 0; i < ei_bucket; ++i) {
+    ia_row[i] = (int32_t)r_bucket;
+    ia_pos[i] = 0;
+    ia_side[i] = 0;
+  }
+
+  int64_t ia_cursor = 0;
+  for (int32_t blk = 0; blk < pb.k; ++blk) {
+    for (int64_t s2 = pb.offsets[blk]; s2 < pb.offsets[blk + 1]; ++s2) {
+      int32_t u = pb.root_nid[s2];
+      root_nid[s2] = u;
+      root_blk[s2] = blk;
+      int64_t full = pb.intra_counts[s2];
+      if (full > 0 && P > 0) {
+        auto [a, b2] = pb.run_of[u];
+        int64_t take = std::min<int64_t>(full, P);
+        int64_t lo = a + full - take;
+        for (int64_t q2 = 0; q2 < take; ++q2) {
+          int64_t idx = lo + q2;
+          int64_t pos = pb.run_pos[idx];
+          ia_row[ia_cursor] = (int32_t)s2;
+          ia_pos[ia_cursor] = (int32_t)pos;
+          // side 1 → the run entry was keyed on dst (partner is src).
+          // Self-loop events (src == dst) contribute two consecutive
+          // run entries: src-keyed (side 0) then dst-keyed (side 1).
+          int32_t side;
+          if (pb.src[pos] == pb.dst[pos]) {
+            side = (idx > a && pb.run_pos[idx - 1] == pos) ? 1 : 0;
+          } else {
+            side = (u == pb.dst[pos]) ? 1 : 0;
+          }
+          ia_side[ia_cursor] = side;
+          ++ia_cursor;
+        }
+      }
+    }
+  }
+
+  // --- resolved clock updates: last write per (node, block); write
+  // order within a block = phase (neg 0 < dst 1 < src 2), event pos.
+  {
+    struct W { int64_t node; int32_t blk; float t; int64_t seq; };
+    std::vector<W> ws;
+    ws.reserve((pb.eval_mode ? 2 : 2 + M) * braw);
+    int64_t seq = 0;
+    for (int32_t blk = 0; blk < pb.k; ++blk) {
+      const int64_t qlo = pb.blk_ptr[blk], qhi = pb.blk_ptr[blk + 1];
+      float mx = -1e30f;
+      if (!pb.eval_mode) {
+        for (int64_t q = qlo; q < qhi; ++q) {
+          int64_t i = pb.ev_by_block[q];
+          for (int64_t j = 0; j < M; ++j)
+            ws.push_back({pb.neg[i * M + j], blk, pb.t[i], seq++});
+        }
+      }
+      for (int64_t q = qlo; q < qhi; ++q) {
+        int64_t i = pb.ev_by_block[q];
+        ws.push_back({pb.dst[i], blk, pb.t[i], seq++});
+        mx = std::max(mx, pb.t[i]);
+      }
+      for (int64_t q = qlo; q < qhi; ++q) {
+        int64_t i = pb.ev_by_block[q];
+        ws.push_back({pb.src[i], blk, pb.t[i], seq++});
+      }
+      if (blk < kb_bucket)
+        wipe_t[blk] = (pb.eval_mode && qhi > qlo) ? mx : 0.0f;
+    }
+    for (int64_t i = pb.k; i < kb_bucket; ++i) wipe_t[i] = 0.0f;
+    *wipe_final = (pb.eval_mode && pb.k > 0) ? wipe_t[pb.k - 1] : 0.0f;
+    std::sort(ws.begin(), ws.end(), [](const W& a, const W& b) {
+      if (a.node != b.node) return a.node < b.node;
+      if (a.blk != b.blk) return a.blk < b.blk;
+      return a.seq < b.seq;
+    });
+    int64_t qn = 0;
+    for (int64_t i = 0; i < (int64_t)ws.size(); ++i) {
+      bool last_of_key = i + 1 == (int64_t)ws.size() ||
+                         ws[i + 1].node != ws[i].node ||
+                         ws[i + 1].blk != ws[i].blk;
+      if (!last_of_key) continue;
+      if (qn < q_bucket) {
+        upd_node[qn] = (int32_t)ws[i].node;
+        upd_blk[qn] = ws[i].blk;
+        upd_t[qn] = ws[i].t;
+        bool node_last = i + 1 == (int64_t)ws.size() ||
+                         ws[i + 1].node != ws[i].node;
+        if (pb.eval_mode) node_last = node_last && ws[i].blk == pb.k - 1;
+        upd_last[qn] = node_last ? 1 : 0;
+      }
+      ++qn;
+    }
+    for (int64_t i = qn; i < q_bucket; ++i) {
+      upd_node[i] = N32;
+      upd_blk[i] = 0;
+      upd_t[i] = 0.0f;
+      upd_last[i] = 0;
+    }
+  }
+
+  // --- events + slot maps (same as fill_wire)
+  for (int64_t i = 0; i < b_bucket; ++i) {
+    bool v = i < braw;
+    ev_src[i] = v ? pb.src[i] : 0;
+    ev_dst[i] = v ? pb.dst[i] : 0;
+    ev_t[i] = v ? pb.t[i] : 0.0f;
+    ev_idx_out[i] = v ? (int32_t)pb.ev_idx[i] : 0;
+    ev_valid[i] = v ? 1 : 0;
+    ev_src_slot[i] = v ? (int32_t)pb.ev_src_slot[i] : 0;
+    ev_pos_slot[i] = v ? (int32_t)pb.ev_pos_slot[i] : 0;
+    for (int64_t j = 0; j < M; ++j) {
+      ev_neg[i * M + j] = v ? pb.neg[i * M + j] : 0;
+      ev_neg_slot[i * M + j] = v ? (int32_t)pb.ev_neg_slot[i * M + j] : 0;
+    }
+  }
+
+  // --- mailbox write plan (same as fill_wire)
+  {
+    const int32_t S = p->S;
+    const int64_t W2 = 2 * b_bucket;
+    for (int64_t i = 0; i < W2; ++i) {
+      mw_node[i] = N32;
+      mw_slot[i] = 0;
+      mw_partner[i] = 0;
+      mw_t[i] = 0.0f;
+      mw_eid[i] = 0;
+    }
+    std::unordered_map<int32_t, std::vector<int64_t>> writes;
+    writes.reserve(2 * braw);
+    for (int64_t i = 0; write_mail && i < braw; ++i) {
+      writes[pb.src[i]].push_back(2 * i);
+      writes[pb.dst[i]].push_back(2 * i + 1);
+    }
+    for (auto& kv : writes) {
+      int32_t u = kv.first;
+      auto& v = kv.second;
+      int64_t kept = std::min<int64_t>((int64_t)v.size(), S);
+      int64_t start = (int64_t)v.size() - kept;
+      int64_t ptr = p->mail_ptr[u];
+      for (int64_t q = 0; q < kept; ++q) {
+        int64_t w = v[start + q];
+        int64_t ev = w / 2;
+        mw_node[w] = u;
+        mw_slot[w] = (int32_t)((ptr + q) % S);
+        mw_partner[w] = (w % 2 == 0) ? pb.dst[ev] : pb.src[ev];
+        mw_t[w] = pb.t[ev];
+        mw_eid[w] = (int32_t)pb.ev_idx[ev];
+      }
+      if (insert) p->mail_ptr[u] = (ptr + kept) % S;
+    }
+  }
+
+  // release scratch markers; do NOT touch clock or cache (device-owned)
+  for (int32_t v : pb.uniq) p->loc_of[v] = -1;
+  pb = PendingBatch();
+}
+
 void packer_pack_fill_wire(
     void* h, int64_t b_bucket, int64_t r_bucket, int32_t insert,
     int32_t write_mail,

@@ -65,6 +65,17 @@ def _lib():
         if hasattr(lib, "packer_pack_fill_wire2"):
             lib.packer_pack_fill_wire2.argtypes = (
                 lib.packer_pack_fill_wire.argtypes + [i32p, i32p])
+        if hasattr(lib, "packer_pack_fill_lean"):
+            lib.packer_pack_fill_lean.argtypes = [
+                c.c_void_p, c.c_int64, c.c_int64, c.c_int32,
+                c.c_int32,                               # write_mail
+                i32p, i32p, f32p, i32p, u8p, i32p,      # events
+                i32p, i32p, i32p,                        # slot maps
+                i32p, i32p,                              # roots nid/blk
+                c.c_int64, i32p, i32p, i32p,             # intra COO
+                i32p, i32p, i32p, f32p, i32p,            # write plan
+                c.c_int64, i32p, i32p, f32p, u8p,        # upd list
+                c.c_int64, f32p, f32p]                   # wipe
         _DECLARED = True
     return lib
 

@@ -90,7 +90,7 @@ class Engine:
             else jnp.float32,
             use_pallas=config.gnn.use_pallas,
         )
-        self.packer = make_stream_packer(data.num_nodes, PackerConfig(
+        pk_cfg = PackerConfig(
             num_neighbors=config.sampling.num_neighbors,
             batch_size=tr.batch_size,
             max_intra_block=tr.max_intra_block,
@@ -98,7 +98,23 @@ class Engine:
             strategy=config.sampling.strategy,
             seed=tr.seed,
             layers=config.gnn.layer,
-        ))
+        )
+        # Device-cache mode (ops/lean_wire.py): streaming state lives on
+        # device; the host ships a lean event-only wire.
+        self.device_cache = (
+            tr.device_cache
+            and config.gnn.arch == "transformer_attention"
+            and config.gnn.layer == 1
+            and config.sampling.strategy == "recent")
+        if self.device_cache:
+            from ..data.lean_packer import make_lean_packer
+            from ..ops.lean_wire import init_stream_device_state
+            self.packer = make_lean_packer(data.num_nodes, pk_cfg)
+            self.sstate = init_stream_device_state(
+                data.num_nodes, config.sampling.num_neighbors)
+        else:
+            self.packer = make_stream_packer(data.num_nodes, pk_cfg)
+            self.sstate = None
         if config.sampling.strategy == "uniform":
             from ..data.tcsr import build_tcsr
             self.packer.set_tcsr(build_tcsr(data.src, data.dst, data.t,
@@ -182,6 +198,8 @@ class Engine:
     # grids on device (ops/wire.py) — host→device traffic is the wall
     # once the packer is native.  intra_width is static per shape bucket.
     def _build_train_step(self):
+        if self.device_cache:
+            return self._build_lean_train_step()
         model_cfg = self.model_cfg
         optimizer = self.optimizer
         K = self.config.sampling.num_neighbors
@@ -305,6 +323,8 @@ class Engine:
         ~0.4 s/call on tunneled backends) makes per-batch dispatch the
         epoch wall; the scanned program is byte-identical math to the
         per-batch step (tests/test_engine.py::test_fused_steps_exact)."""
+        if self.device_cache:
+            return self._build_lean_fused_train_step()
         body = self._train_step_raw
 
         if self.use_memory:
@@ -349,21 +369,9 @@ class Engine:
                            static_argnums=(7,))
         return fused
 
-    def _build_eval_forward(self):
-        model_cfg = self.model_cfg
-        K = self.config.sampling.num_neighbors
-        N = self.data.num_nodes
-
-        arch = self.arch
-
-        # Eval runs as small jitted phases per negative-set CHUNK: (1)
-        # memory update + embedding + state commit, (2) edge scoring into
-        # per-event rank COUNTS.  Ranks are additive across chunks, so
-        # chunking is exact; it is required because every (block,
-        # negative) pair gets its own root slot (reference
-        # model_utils.py:85-92) and M=999 on one grid is a >500K-slot
-        # 12 GB program that OOMs HBM.  No extra host fetches: counts
-        # accumulate on device, one fetch per eval pass.
+    def _setup_eval_scoring(self):
+        """Shared eval phases: edge scoring into per-event rank counts +
+        the per-batch MRR finalizer (TGB/OGB tie convention)."""
         def score_counts(params, embed, wire, opt, pes):
             from ..models.tgnn import edge_predictor
             h_src = embed[wire.ev_src_slot]
@@ -387,6 +395,240 @@ class Engine:
                             if self._jit else score_counts)
         self._eval_finalize = (jax.jit(finalize, donate_argnums=(0,))
                                if self._jit else finalize)
+
+    # ------------------------------------------------- device-cache mode
+    # Lean variants (train.device_cache=True): the streaming state
+    # (recency cache + clocks) is a donated device pytree threaded through
+    # every step; the host ships event-only LeanWires (ops/lean_wire.py).
+    def _build_lean_train_step(self):
+        from ..ops.lean_wire import advance_stream, expand_lean
+
+        model_cfg = self.model_cfg
+        optimizer = self.optimizer
+        K = self.config.sampling.num_neighbors
+        N = self.data.num_nodes
+        B = self.config.train.batch_size
+
+        def train_metrics(acc, loss, pos, neg, valid):
+            n = valid.sum()
+            neg1 = neg if neg.ndim == 1 else neg[:, 0]
+            ap, auc = jnp_ap_auc(jax.nn.sigmoid(pos),
+                                 jax.nn.sigmoid(neg1), valid)
+            return acc + jnp.stack([loss.astype(jnp.float32) * n, ap, auc,
+                                    jnp.float32(1.0)])
+
+        if self.use_memory:
+            mem_cfg = self.mem_cfg
+
+            def step(params, opt_state, mem_state, sstate, feats, wire,
+                     rng, acc, intra_width):
+                pack, nid = expand_lean(wire, sstate, K, intra_width, N,
+                                        eval_mode=False, batch_size=B)
+
+                def loss_fn(p):
+                    mem_rows, lu_rows = apply_mail(p["memory"], mem_cfg,
+                                                   mem_state, nid, feats)
+                    pos, neg = tgnn_forward(p, model_cfg, mem_rows, feats,
+                                            pack, train=True, rng=rng,
+                                            local=True)
+                    return (bce_loss(pos, neg, pack.ev_valid),
+                            (pos, neg, mem_rows, lu_rows))
+
+                (loss, (pos, neg, mem_rows, lu_rows)), grads = \
+                    jax.value_and_grad(loss_fn, has_aux=True)(params)
+                # duplicate nids scatter identical rows — order-safe
+                mem_state = commit(mem_cfg, mem_state, nid, mem_rows,
+                                   lu_rows, pack.mw_node, pack.mw_slot,
+                                   pack.mw_partner, pack.mw_t,
+                                   pack.mw_eid)
+                sstate = advance_stream(sstate, wire, N, eval_mode=False)
+                updates, opt_state = optimizer.update(grads, opt_state,
+                                                      params)
+                params = optax.apply_updates(params, updates)
+                acc = train_metrics(acc, loss, pos, neg, pack.ev_valid)
+                return (params, opt_state, mem_state, sstate, loss, pos,
+                        neg, acc)
+
+            self._train_step_raw = step
+            if self._jit:
+                return jax.jit(step, donate_argnums=(0, 1, 2, 3, 7),
+                               static_argnums=(8,))
+            return step
+
+        def step(params, opt_state, memory, sstate, feats, wire, rng,
+                 acc, intra_width):
+            pack, _nid = expand_lean(wire, sstate, K, intra_width, N,
+                                     eval_mode=False, batch_size=B)
+
+            def loss_fn(p):
+                pos, neg = tgnn_forward(p, model_cfg, memory, feats, pack,
+                                        train=True, rng=rng)
+                return bce_loss(pos, neg, pack.ev_valid), (pos, neg)
+
+            (loss, (pos, neg)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            sstate = advance_stream(sstate, wire, N, eval_mode=False)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            acc = train_metrics(acc, loss, pos, neg, pack.ev_valid)
+            return params, opt_state, sstate, loss, pos, neg, acc
+
+        self._train_step_raw = step
+        if self._jit:
+            return jax.jit(step, donate_argnums=(0, 1, 3, 7),
+                           static_argnums=(8,))
+        return step
+
+    def _build_lean_fused_train_step(self):
+        # UNROLLED, not lax.scan: inside a while loop XLA fails to fuse
+        # the lean body's broadcast-cos/gathers into the attention
+        # matmuls and materializes (R, Kp, D) intermediates in pathological
+        # layouts — profiler-measured 45 ms/iteration vs 0.74 ms for the
+        # identical straight-line step (and 100×-longer compiles).  G is
+        # static from the stacked leading dim, so a Python loop emits
+        # straight-line code.
+        body = self._train_step_raw
+
+        if self.use_memory:
+            def fused(params, opt_state, mem_state, sstate, feats, wires,
+                      rng, acc, intra_width):
+                G = wires.ev_src.shape[0]
+                loss = None
+                for i in range(G):
+                    wire = jax.tree.map(lambda a: a[i], wires)
+                    rng, sk = jax.random.split(rng)
+                    (params, opt_state, mem_state, sstate, loss, _p, _n,
+                     acc) = body(params, opt_state, mem_state, sstate,
+                                 feats, wire, sk, acc, intra_width)
+                return params, opt_state, mem_state, sstate, acc, loss
+
+            if self._jit:
+                return jax.jit(fused, donate_argnums=(0, 1, 2, 3, 7),
+                               static_argnums=(8,))
+            return fused
+
+        def fused(params, opt_state, memory, sstate, feats, wires, rng,
+                  acc, intra_width):
+            G = wires.ev_src.shape[0]
+            loss = None
+            for i in range(G):
+                wire = jax.tree.map(lambda a: a[i], wires)
+                rng, sk = jax.random.split(rng)
+                params, opt_state, sstate, loss, _p, _n, acc = body(
+                    params, opt_state, memory, sstate, feats, wire, sk,
+                    acc, intra_width)
+            return params, opt_state, sstate, acc, loss
+
+        if self._jit:
+            return jax.jit(fused, donate_argnums=(0, 1, 3, 7),
+                           static_argnums=(8,))
+        return fused
+
+    def _build_lean_eval_forward(self):
+        from ..ops.lean_wire import advance_stream, expand_lean
+
+        self._setup_eval_scoring()
+        model_cfg = self.model_cfg
+        K = self.config.sampling.num_neighbors
+        N = self.data.num_nodes
+        B = self.config.train.batch_size
+
+        if self.use_memory:
+            mem_cfg = self.mem_cfg
+
+            def fwd(params, mem_state, sstate, feats, wire, intra_width,
+                    advance):
+                pack, nid = expand_lean(wire, sstate, K, intra_width, N,
+                                        eval_mode=True, batch_size=B)
+                mem_rows, lu_rows = apply_mail(params["memory"], mem_cfg,
+                                               mem_state, nid, feats)
+                embed = tgnn_embed(params, model_cfg, mem_rows, feats,
+                                   pack, train=False, local=True)
+                mem_state = commit(mem_cfg, mem_state, nid, mem_rows,
+                                   lu_rows, pack.mw_node, pack.mw_slot,
+                                   pack.mw_partner, pack.mw_t,
+                                   pack.mw_eid)
+                if advance:
+                    sstate = advance_stream(sstate, wire, N,
+                                            eval_mode=True)
+                return embed, mem_state, sstate
+
+            self._eval_fwd_raw = fwd
+            if self._jit:
+                return jax.jit(fwd, donate_argnums=(1, 2),
+                               static_argnums=(5, 6))
+            return fwd
+
+        def fwd(params, memory, sstate, feats, wire, intra_width,
+                advance):
+            pack, _nid = expand_lean(wire, sstate, K, intra_width, N,
+                                     eval_mode=True, batch_size=B)
+            embed = tgnn_embed(params, model_cfg, memory, feats, pack,
+                               train=False)
+            if advance:
+                sstate = advance_stream(sstate, wire, N, eval_mode=True)
+            return embed, sstate
+
+        self._eval_fwd_raw = fwd
+        if self._jit:
+            return jax.jit(fwd, donate_argnums=(2,), static_argnums=(5, 6))
+        return fwd
+
+    def _build_lean_fused_eval_step(self):
+        fwd = self._eval_fwd_raw
+        score = self._eval_score_raw
+
+        if self.use_memory:
+            def fused(params, mem_state, sstate, feats, wires, opt, pes,
+                      intra_width):
+                # unrolled, not scanned — see _build_lean_fused_train_step
+                G = wires.ev_src.shape[0]
+                for i in range(G):
+                    wire = jax.tree.map(lambda a: a[i], wires)
+                    embed, mem_state, _ = fwd(params, mem_state, sstate,
+                                              feats, wire, intra_width,
+                                              False)
+                    _pos, opt, pes = score(params, embed, wire, opt, pes)
+                return mem_state, opt, pes, opt.sum()
+
+            if self._jit:
+                return jax.jit(fused, donate_argnums=(1, 5, 6),
+                               static_argnums=(7,))
+            return fused
+
+        def fused(params, memory, sstate, feats, wires, opt, pes,
+                  intra_width):
+            G = wires.ev_src.shape[0]
+            for i in range(G):
+                wire = jax.tree.map(lambda a: a[i], wires)
+                embed, _ = fwd(params, memory, sstate, feats, wire,
+                               intra_width, False)
+                _pos, opt, pes = score(params, embed, wire, opt, pes)
+            return opt, pes, opt.sum()
+
+        if self._jit:
+            return jax.jit(fused, donate_argnums=(5, 6),
+                           static_argnums=(7,))
+        return fused
+
+    def _build_eval_forward(self):
+        if self.device_cache:
+            return self._build_lean_eval_forward()
+        model_cfg = self.model_cfg
+        K = self.config.sampling.num_neighbors
+        N = self.data.num_nodes
+
+        arch = self.arch
+
+        # Eval runs as small jitted phases per negative-set CHUNK: (1)
+        # memory update + embedding + state commit, (2) edge scoring into
+        # per-event rank COUNTS.  Ranks are additive across chunks, so
+        # chunking is exact; it is required because every (block,
+        # negative) pair gets its own root slot (reference
+        # model_utils.py:85-92) and M=999 on one grid is a >500K-slot
+        # 12 GB program that OOMs HBM.  No extra host fetches: counts
+        # accumulate on device, one fetch per eval pass.
+        self._setup_eval_scoring()
 
         if self.use_memory and self.eager_memory:       # DyRep
             mem_cfg = self.mem_cfg
@@ -452,6 +694,8 @@ class Engine:
         backend dominates eval wall-clock the same way per-batch dispatch
         dominates train (see _build_fused_train_step).  Rank counts are
         additive across chunks, so scanning them is exact."""
+        if self.device_cache:
+            return self._build_lean_fused_eval_step()
         fwd = self._eval_fwd_raw
         score = self._eval_score_raw
 
@@ -533,6 +777,9 @@ class Engine:
     def train_epoch(self) -> Dict[str, float]:
         d = self.data
         self.packer.reset_cache()
+        if self.device_cache:
+            from ..ops.lean_wire import reset_stream_cache
+            self.sstate = reset_stream_cache(self.sstate)
         if self.use_memory:
             # memory + cache reset together at train start (reference
             # pyg_epoch_utils.py:11-16)
@@ -558,9 +805,21 @@ class Engine:
             if max_inflight and len(inflight) > max_inflight:
                 jax.block_until_ready(inflight.pop(0))
 
+        lean = self.device_cache
+
         def dispatch_one(wire, iw, acc):
             self._rng, sk = jax.random.split(self._rng)
-            if self.use_memory:
+            if lean and self.use_memory:
+                (self.params, self.opt_state, self.mem_state, self.sstate,
+                 loss, _pos, _neg, acc) = self._train_step(
+                    self.params, self.opt_state, self.mem_state,
+                    self.sstate, self.feats, wire, sk, acc, iw)
+            elif lean:
+                (self.params, self.opt_state, self.sstate, loss, _pos,
+                 _neg, acc) = self._train_step(
+                    self.params, self.opt_state, self.memory, self.sstate,
+                    self.feats, wire, sk, acc, iw)
+            elif self.use_memory:
                 (self.params, self.opt_state, self.mem_state, loss, _pos,
                  _neg, acc) = self._train_step(
                     self.params, self.opt_state, self.mem_state,
@@ -574,13 +833,23 @@ class Engine:
             return acc
 
         def dispatch_group(wires_list, iw, acc):
-            from ..ops.wire import WirePack
-            stacked = WirePack(*(
+            wp_cls = type(wires_list[0])
+            stacked = wp_cls(*(
                 (np.stack([getattr(w, f) for w in wires_list])
                  if getattr(wires_list[0], f) is not None else None)
-                for f in WirePack._fields))
+                for f in wp_cls._fields))
             self._rng, sk = jax.random.split(self._rng)
-            if self.use_memory:
+            if lean and self.use_memory:
+                (self.params, self.opt_state, self.mem_state, self.sstate,
+                 acc, handle) = self._fused_train_step(
+                    self.params, self.opt_state, self.mem_state,
+                    self.sstate, self.feats, stacked, sk, acc, iw)
+            elif lean:
+                (self.params, self.opt_state, self.sstate, acc,
+                 handle) = self._fused_train_step(
+                    self.params, self.opt_state, self.memory, self.sstate,
+                    self.feats, stacked, sk, acc, iw)
+            elif self.use_memory:
                 (self.params, self.opt_state, self.mem_state, acc,
                  handle) = self._fused_train_step(
                     self.params, self.opt_state, self.mem_state,
@@ -647,8 +916,18 @@ class Engine:
             if max_inflight and len(inflight) > max_inflight:
                 jax.block_until_ready(inflight.pop(0))
 
-        def dispatch_chunk(wire, iw, opt, pes):
-            if self.use_memory:
+        lean = self.device_cache
+
+        def dispatch_chunk(wire, iw, opt, pes, advance=True):
+            if lean and self.use_memory:
+                embed, self.mem_state, self.sstate = self._eval_fwd(
+                    self.params, self.mem_state, self.sstate, self.feats,
+                    wire, iw, advance)
+            elif lean:
+                embed, self.sstate = self._eval_fwd(
+                    self.params, self.memory, self.sstate, self.feats,
+                    wire, iw, advance)
+            elif self.use_memory:
                 embed, self.mem_state = self._eval_fwd(
                     self.params, self.mem_state, self.feats, wire, iw)
             else:
@@ -660,15 +939,25 @@ class Engine:
             return opt, pes
 
         def dispatch_chunks(pend, iw, opt, pes):
-            """Fused (≥2 chunks, one lax.scan dispatch) or single."""
+            """Fused (≥2 chunks, one lax.scan dispatch) or single; never
+            the stream-advancing LAST chunk."""
             if len(pend) == 1:
-                return dispatch_chunk(pend[0], iw, opt, pes)
-            from ..ops.wire import WirePack
-            stacked = WirePack(*(
+                return dispatch_chunk(pend[0], iw, opt, pes,
+                                      advance=False)
+            wp_cls = type(pend[0])
+            stacked = wp_cls(*(
                 (np.stack([getattr(w, f) for w in pend])
                  if getattr(pend[0], f) is not None else None)
-                for f in WirePack._fields))
-            if self.use_memory:
+                for f in wp_cls._fields))
+            if lean and self.use_memory:
+                self.mem_state, opt, pes, handle = self._fused_eval_step(
+                    self.params, self.mem_state, self.sstate, self.feats,
+                    stacked, opt, pes, iw)
+            elif lean:
+                opt, pes, handle = self._fused_eval_step(
+                    self.params, self.memory, self.sstate, self.feats,
+                    stacked, opt, pes, iw)
+            elif self.use_memory:
                 self.mem_state, opt, pes, handle = self._fused_eval_step(
                     self.params, self.mem_state, self.feats, stacked,
                     opt, pes, iw)
@@ -798,15 +1087,19 @@ class Engine:
             "rng": self._rng,
             "neg_rng": rng_state_to_array(self.neg_sampler.rng),
             "step": np.int64(self._step),
-            "packer": {
+        }
+        if self.device_cache:
+            st["packer"] = {"mail_ptr": self.packer.mail_ptr}
+            st["sstate"] = self.sstate
+        else:
+            st["packer"] = {
                 "cache_nbr": self.packer.cache_nbr,
                 "cache_eid": self.packer.cache_eid,
                 "cache_t": self.packer.cache_t,
                 "clock": self.packer.clock,
                 "cur_e_id": np.int64(self.packer.cur_e_id),
                 "mail_ptr": self.packer.mail_ptr,
-            },
-        }
+            }
         if self.use_memory:
             st["mem_state"] = self.mem_state
         return st
@@ -824,6 +1117,13 @@ class Engine:
         self.neg_sampler.rng = rng_state_from_array(st["neg_rng"])
         self._step = int(st["step"])
         pk = st["packer"]
+        if self.device_cache:
+            self.packer.mail_ptr = np.asarray(pk["mail_ptr"])
+            self.sstate = jax.tree.map(jnp.asarray, st["sstate"])
+            if self.use_memory:
+                self.mem_state = jax.tree.map(jnp.asarray,
+                                              st["mem_state"])
+            return
         if hasattr(self.packer, "load_state"):     # native packer
             self.packer.load_state(
                 np.asarray(pk["cache_nbr"]), np.asarray(pk["cache_eid"]),

@@ -124,6 +124,19 @@ class TrainConfig:
     # dispatch count G×.  Exact: the scanned body is the same program as
     # the per-batch step.  0/1 = off.
     fuse_steps: int = 8
+    # Device-cache mode (ops/lean_wire.py): keep the recency neighbor
+    # cache + per-node clocks ON DEVICE and ship a lean event-only wire
+    # (~0.7 MB/batch vs ~1.8 MB, and a faster host packer).  Bit-exact
+    # vs the host-pack path (tests/test_lean.py).  Default OFF: on the
+    # tunneled single-chip backend every extra kernel costs ~0.8 ms fixed
+    # overhead and the on-device expand chain (cache gathers, clock
+    # searchsorteds, COO scatter, cache insert) runs ~46 ms/step vs
+    # ~20 ms host-pack (BASELINE.md).  On directly-attached TPUs (µs
+    # kernel launch, PCIe/ICI H2D) the trade flips: less host work,
+    # 2.6× less transfer — enable there and A/B.  Supports the flagship
+    # arch (transformer_attention, frozen or mailbox memory), layer 1,
+    # 'recent' strategy; other configs fall back to the host packer.
+    device_cache: bool = False
 
 
 @dataclass
