@@ -36,6 +36,11 @@ def main():
                              "--checkpoint-every) under this directory")
     parser.add_argument("--checkpoint-every", type=int, default=0,
                         help="save a full-state checkpoint every N epochs")
+    parser.add_argument("--val-snapshot", action="store_true",
+                        help="snapshot/restore streaming state around "
+                             "each validation pass (the reference's "
+                             "unwired backup_memory intent, "
+                             "model_utils.py:290-308)")
     parser.add_argument("--patience", type=int, default=0,
                         help="early-stop after N non-improving validations "
                              "(0 = off)")
@@ -80,12 +85,13 @@ def main():
             engine.fit(epochs=remaining, early_stop=early,
                        checkpoint_dir=args.log_dir,
                        checkpoint_every=args.checkpoint_every,
-                       log_dir=args.log_dir)
+                       log_dir=args.log_dir,
+                       val_snapshot=args.val_snapshot)
     else:
         engine.fit(epochs=args.epochs, early_stop=early,
                    checkpoint_dir=args.log_dir,
                    checkpoint_every=args.checkpoint_every,
-                   log_dir=args.log_dir)
+                   log_dir=args.log_dir, val_snapshot=args.val_snapshot)
     if args.run_test:
         t0 = time.time()
         test_metric = engine.evaluate("test")

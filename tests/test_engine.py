@@ -178,3 +178,41 @@ def test_fused_steps_exact(tiny_data, frozen):
     for a, b in zip(flat1, flat2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("device_cache", [False, True],
+                         ids=["host-pack", "device-cache"])
+def test_val_snapshot_protects_training(tiny_data, device_cache):
+    """With snapshot/restore around validation (the reference's unwired
+    backup_memory intent, model_utils.py:290-308), a validation pass
+    leaves NO trace in the training trajectory: epoch-2 loss equals a
+    run that never validated.  Without it, the streaming eval advances
+    node clocks through val (reference protocol) and epoch 2 differs."""
+    def clocks(eng):
+        if device_cache:
+            return np.asarray(eng.sstate.clock)[:-1]
+        return np.asarray(eng.packer.clock)
+
+    def run(with_val, snapshot):
+        raw = dict(TINY)
+        raw["train"] = [dict(epoch=2, batch_size=64, lr=1e-3,
+                             dropout=0.0, att_dropout=0.0,
+                             device_cache=device_cache)]
+        cfg = parse_config_dict(raw)
+        eng = Engine(tiny_data, cfg)
+        eng.train_epoch()
+        pre = clocks(eng)
+        if with_val:
+            snap = eng.snapshot_stream() if snapshot else None
+            eng.evaluate("val")
+            if snap is not None:
+                eng.restore_stream(snap)
+        mutated = not np.array_equal(pre, clocks(eng))
+        return eng.train_epoch()["loss"], mutated
+
+    base, _ = run(False, False)
+    protected, prot_mut = run(True, True)
+    _, unprot_mut = run(True, False)
+    np.testing.assert_allclose(base, protected, rtol=1e-6)
+    assert not prot_mut          # snapshot restored the clocks exactly
+    assert unprot_mut            # val really advances clocks otherwise

@@ -168,6 +168,8 @@ class Engine:
         else:
             self.mem_cfg = None
             self.mem_state = None
+        # (optax.flatten was A/B'd for kernel-count reduction: no change —
+        # XLA already fuses the per-leaf Adam updates; see BASELINE.md)
         self.optimizer = optax.adam(tr.lr)
         self.opt_state = self.optimizer.init(self.params)
         # Frozen all-ones memory table for the reference-parity path
@@ -1016,7 +1018,8 @@ class Engine:
             early_stop: Optional[EarlyStopMonitor] = None,
             checkpoint_dir: Optional[str] = None,
             checkpoint_every: int = 0,
-            log_dir: Optional[str] = None) -> Dict[str, list]:
+            log_dir: Optional[str] = None,
+            val_snapshot: bool = False) -> Dict[str, list]:
         """Epoch driver mirroring reference pyg-mem-tgn.py:53-67, with the
         early-stopping/checkpoint machinery the reference ships but never
         wires in (modules/early_stopping.py; SURVEY.md §5.4) and
@@ -1043,7 +1046,14 @@ class Engine:
             val = None
             if (e + 1) % eval_every == 0 and self.data.val_ns is not None:
                 t0 = time.time()
+                # val_snapshot protects training from the streaming
+                # eval's state mutations (clocks advance through val in
+                # the reference protocol, pyg-mem-tgn.py:54-63; the
+                # snapshot/restore option is SURVEY.md §7.5's fix)
+                snap = self.snapshot_stream() if val_snapshot else None
                 val = self.evaluate("val")
+                if snap is not None:
+                    self.restore_stream(snap)
                 t1 = time.time()
                 log(f"Validation {self.data.eval_metric}: {val: .4f}, "
                     f"elapsed Time (s): {t1 - t0: .4f}")
@@ -1067,6 +1077,31 @@ class Engine:
         log(f"Execution Time: {time.time() - start:.6f} seconds")
         metrics.close()
         return history
+
+    # ------------------------------------------------- stream snapshots
+    def snapshot_stream(self):
+        """Backup ALL streaming state: host packer state (cache/clocks/
+        mail ring or lean mail ring), device stream state (device-cache
+        mode) and the node memory.  This is the val→test memory-carry /
+        state-protection API the reference ships but never wires in
+        (backup_memory/restore_memory, model_utils.py:290-308; SURVEY.md
+        §5.4) — e.g. snapshot before a validation pass so the streaming
+        eval's state mutations don't leak into training."""
+        snap = {"packer": self.packer.snapshot()}
+        if self.device_cache:
+            snap["sstate"] = jax.tree.map(jnp.array, self.sstate)
+        if self.use_memory:
+            snap["mem_state"] = jax.tree.map(jnp.array, self.mem_state)
+        return snap
+
+    def restore_stream(self, snap) -> None:
+        """Restore a snapshot_stream() backup (copies — the snapshot
+        stays valid; restored buffers may be donated by later steps)."""
+        self.packer.restore(snap["packer"])
+        if self.device_cache:
+            self.sstate = jax.tree.map(jnp.array, snap["sstate"])
+        if self.use_memory:
+            self.mem_state = jax.tree.map(jnp.array, snap["mem_state"])
 
     # -------------------------------------------------------- checkpointing
     def _model_state(self):
