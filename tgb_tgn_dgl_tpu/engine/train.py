@@ -37,7 +37,7 @@ from ..models.variants import (EagerMemoryConfig, dyrep_messages,
                                eager_apply_mail, eager_commit,
                                init_eager_memory_params,
                                init_eager_memory_state)
-from ..ops.wire import expand_wire, pack_to_wire
+from ..ops.wire import compact_wire, expand_wire, pack_to_wire
 from ..utils.config import FrameworkConfig
 from .checkpoint import (EarlyStopMonitor, load_pytree, rng_state_from_array,
                          rng_state_to_array, save_pytree)
@@ -62,6 +62,15 @@ def _enable_persistent_compile_cache() -> None:
                               1.0)
     except Exception:
         pass
+
+
+def _wire_key(iw, wire):
+    """Fuse-group signature: same-shape AND same-dtype wires share one
+    compiled bucket (compact-wire dtypes can widen when a sticky bucket
+    crosses a uint16 range)."""
+    return (iw,) + tuple(
+        (None if a is None else (np.shape(a), np.asarray(a).dtype.str))
+        for a in wire)
 
 
 class Engine:
@@ -119,6 +128,9 @@ class Engine:
             from ..data.tcsr import build_tcsr
             self.packer.set_tcsr(build_tcsr(data.src, data.dst, data.t,
                                             data.num_nodes))
+        # Narrow-dtype wire (ops/wire.CompactWire): ~1.5× fewer H2D bytes,
+        # bit-exact.  The lean packer has its own (already minimal) wire.
+        self._wire_compact = bool(tr.wire_compact) and not self.device_cache
         # Arch selection (gnn.arch knob): 'transformer_attention' (TGNN),
         # 'identity' (JODIE), 'dyrep' (models/factory.py).  JODIE/DyRep
         # are memory-based by definition; the flagship uses the real
@@ -774,7 +786,17 @@ class Engine:
                 em = True
             wire, iw = self.packer.pack_wire(src, dst, t, rows, blk, neg,
                                              eval_mode=em)
-            yield lo, hi, wire, iw
+            yield lo, hi, self._maybe_compact(wire, iw), iw
+
+    def _maybe_compact(self, wire, iw):
+        """Narrow the wire dtypes when enabled and possible (ops/wire.py);
+        returns the original wire otherwise — expand_wire accepts both."""
+        if not self._wire_compact or not isinstance(wire, tuple) \
+                or not hasattr(wire, "ia_row"):
+            return wire
+        cw = compact_wire(wire, self.data.num_nodes, iw,
+                          self.config.memory.mailbox_size)
+        return wire if cw is None else cw
 
     def train_epoch(self) -> Dict[str, float]:
         d = self.data
@@ -878,7 +900,7 @@ class Engine:
             total += hi - lo
             self._step += 1
             if G > 1:
-                key = (iw,) + tuple(np.shape(a) for a in wire)
+                key = _wire_key(iw, wire)
                 if pending and key != pend_key:
                     for w in pending:
                         acc = dispatch_one(w, pend_iw, acc)
@@ -992,8 +1014,9 @@ class Engine:
                 wire, iw = self.packer.pack_wire(
                     src, dst, t, rows, blk, neg_c, eval_mode=True,
                     insert=last, write_mail=last)
+                wire = self._maybe_compact(wire, iw)
                 if not last and G > 1:
-                    key = (iw,) + tuple(np.shape(a) for a in wire)
+                    key = _wire_key(iw, wire)
                     if pend and key != pend_key:
                         opt, pes = dispatch_chunks(pend, pend_iw, opt, pes)
                         pend = []

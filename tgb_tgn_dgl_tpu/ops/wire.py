@@ -112,11 +112,202 @@ def pack_to_wire(pack: Pack, num_neighbors: int) -> WirePack:
     )
 
 
-def expand_wire(wire: WirePack, num_neighbors: int, intra_width: int,
+class CompactWire(NamedTuple):
+    """Narrow-dtype wire (train.wire_compact).  Same information as a
+    WirePack at ~60% of the bytes: index fields ship as uint16/uint8 when
+    the static bucket ranges fit, ``ia_feat`` ships as a uint16 batch
+    position (``ev_idx[ia_pos]`` is recovered on device), and the whole
+    mailbox write plan collapses to one slot array — the packer's plan is
+    identity-indexed (data/packer.py: ``mw_node[take] = wnode[take]``), so
+    position ``i`` already encodes (event ``i>>1``, direction ``i&1``) and
+    node/partner/t/eid are re-derived from the event arrays on device.
+    H2D bandwidth is the throughput wall on tunneled hosts (SURVEY.md
+    §5.8), so every byte here is ~linear in epoch time."""
+
+    ev_src: jnp.ndarray        # (B,) u16|i32
+    ev_dst: jnp.ndarray        # (B,) u16|i32
+    ev_t: jnp.ndarray          # (B,) f32
+    ev_idx: jnp.ndarray        # (B,) i32 (global msg-table rows)
+    ev_valid: jnp.ndarray      # (B,) bool
+    ev_neg: jnp.ndarray        # (B,)|(B,M) u16|i32
+    ev_src_slot: jnp.ndarray   # (B,) u16|i32
+    ev_pos_slot: jnp.ndarray   # (B,) u16|i32
+    ev_neg_slot: jnp.ndarray   # (B,)|(B,M) u16|i32
+    uniq_nid: jnp.ndarray      # (U,) u16|i32
+    root_loc: jnp.ndarray      # (R,) u16|i32
+    cache_loc: jnp.ndarray     # (R,K) u16|i32
+    cache_feat: jnp.ndarray    # (R,K) i32 (global e_id; -1 = empty)
+    cache_dt: jnp.ndarray      # (R,K) f32
+    self_dt: jnp.ndarray       # (R,) f32
+    ia_row: jnp.ndarray        # (Ei,) u16|i32 (R = padding)
+    ia_col: jnp.ndarray        # (Ei,) u8|i32
+    ia_loc: jnp.ndarray        # (Ei,) u16|i32
+    ia_pos: jnp.ndarray        # (Ei,) u16|i32 batch position of the event
+    ia_dt: jnp.ndarray         # (Ei,) f32
+    mw_slot: jnp.ndarray       # (2B,) u8 (255 = no write) | i32 (-1)
+    cache_rslot: Optional[jnp.ndarray] = None  # u16 (0xFFFF = -1) | i32
+    ia_rslot: Optional[jnp.ndarray] = None
+
+
+def compact_wire(wire: WirePack, num_nodes: int, intra_width: int,
+                 mailbox_size: int) -> Optional[CompactWire]:
+    """Host-side narrowing of a WirePack (numpy).  Returns None when the
+    wire is not compactable (non-monotone ev_idx, or a mailbox plan that
+    deviates from the packer's identity indexing) — callers then ship the
+    full wire.  Dtype choices depend only on static bucket values
+    (N, R, Ub, P, S), so jit buckets stay stable."""
+    N = num_nodes
+    B = int(wire.ev_src.shape[0])
+    R = int(wire.root_loc.shape[0])
+    Ub = int(wire.uniq_nid.shape[0])
+    ev_idx = np.asarray(wire.ev_idx)
+    ev_src = np.asarray(wire.ev_src)
+    ev_dst = np.asarray(wire.ev_dst)
+
+    # --- ia_feat -> batch position (needs strictly increasing ev_idx) ---
+    nreal = int(np.asarray(wire.ev_valid).sum())
+    evr = ev_idx[:nreal]
+    if nreal and not np.all(np.diff(evr) > 0):
+        return None
+    ia_row = np.asarray(wire.ia_row)
+    real = ia_row != R
+    pos = np.zeros(ia_row.shape[0], np.int64)
+    if real.any():
+        if nreal == 0:
+            return None
+        p = np.searchsorted(evr, wire.ia_feat[real])
+        p = np.minimum(p, nreal - 1)
+        if not np.array_equal(evr[p], wire.ia_feat[real]):
+            return None
+        pos[real] = p
+
+    # --- mailbox plan must be identity-indexed --------------------------
+    W = int(wire.mw_node.shape[0])
+    if W != 2 * B:
+        return None
+    pw = np.arange(W)
+    loc, side = pw >> 1, pw & 1
+    node_raw = np.where(side == 0, ev_src[loc], ev_dst[loc])
+    part_raw = np.where(side == 0, ev_dst[loc], ev_src[loc])
+    mvalid = np.asarray(wire.mw_node) != N
+    minv = ~mvalid
+    if not (np.array_equal(wire.mw_node[mvalid], node_raw[mvalid])
+            and np.array_equal(wire.mw_partner[mvalid], part_raw[mvalid])
+            and np.array_equal(wire.mw_t[mvalid],
+                               np.asarray(wire.ev_t)[loc][mvalid])
+            and np.array_equal(wire.mw_eid[mvalid], ev_idx[loc][mvalid])
+            and np.all(wire.mw_partner[minv] == 0)
+            and np.all(wire.mw_t[minv] == 0)
+            and np.all(wire.mw_eid[minv] == 0)
+            and np.all(wire.mw_slot[minv] == 0)):
+        return None
+    if mailbox_size <= 254:
+        mw_slot = np.where(mvalid, wire.mw_slot, 255).astype(np.uint8)
+    else:
+        mw_slot = np.where(mvalid, wire.mw_slot, -1).astype(np.int32)
+
+    def enc(a, maxval):
+        a = np.asarray(a)
+        if maxval <= 0xFFFF:
+            return a.astype(np.uint16)
+        return a.astype(np.int32)
+
+    def enc_rslot(a):
+        if a is None:
+            return None
+        a = np.asarray(a)
+        if R - 1 <= 0xFFFE:
+            return np.where(a < 0, 0xFFFF, a).astype(np.uint16)
+        return a.astype(np.int32)
+
+    return CompactWire(
+        ev_src=enc(ev_src, N - 1), ev_dst=enc(ev_dst, N - 1),
+        ev_t=np.asarray(wire.ev_t, np.float32),
+        ev_idx=ev_idx.astype(np.int32),
+        ev_valid=np.asarray(wire.ev_valid, bool),
+        ev_neg=enc(wire.ev_neg, N - 1),
+        ev_src_slot=enc(wire.ev_src_slot, R - 1),
+        ev_pos_slot=enc(wire.ev_pos_slot, R - 1),
+        ev_neg_slot=enc(wire.ev_neg_slot, R - 1),
+        uniq_nid=enc(wire.uniq_nid, N),
+        root_loc=enc(wire.root_loc, Ub - 1),
+        cache_loc=enc(wire.cache_loc, Ub - 1),
+        cache_feat=np.asarray(wire.cache_feat, np.int32),
+        cache_dt=np.asarray(wire.cache_dt, np.float32),
+        self_dt=np.asarray(wire.self_dt, np.float32),
+        ia_row=enc(ia_row, R),
+        ia_col=(np.asarray(wire.ia_col).astype(np.uint8)
+                if intra_width <= 256 else
+                np.asarray(wire.ia_col, np.int32)),
+        ia_loc=enc(wire.ia_loc, Ub - 1),
+        ia_pos=enc(pos, B - 1),
+        ia_dt=np.asarray(wire.ia_dt, np.float32),
+        mw_slot=mw_slot,
+        cache_rslot=enc_rslot(wire.cache_rslot),
+        ia_rslot=enc_rslot(wire.ia_rslot),
+    )
+
+
+def uncompact_wire(cw: CompactWire, num_nodes: int) -> WirePack:
+    """Device-side inverse of compact_wire (pure jnp, runs inside the
+    jitted step; everything is casts/gathers/selects that XLA fuses into
+    the expand).  Output is bit-equal to the original WirePack —
+    tests/test_wire.py::test_compact_wire_exact."""
+    def i32(a):
+        return a.astype(jnp.int32)
+
+    ev_src, ev_dst = i32(cw.ev_src), i32(cw.ev_dst)
+    ev_idx = i32(cw.ev_idx)
+    R = cw.root_loc.shape[0]
+    ia_row = i32(cw.ia_row)
+    ia_feat = jnp.where(ia_row == R, 0, ev_idx[i32(cw.ia_pos)])
+
+    def rslot(a):
+        if a is None:
+            return None
+        a32 = i32(a)
+        if a.dtype == jnp.uint16:
+            return jnp.where(a32 == 0xFFFF, -1, a32)
+        return a32
+
+    W = cw.mw_slot.shape[0]
+    pw = jnp.arange(W, dtype=jnp.int32)
+    loc, side = pw >> 1, pw & 1
+    if cw.mw_slot.dtype == jnp.uint8:
+        mvalid = cw.mw_slot != 255
+        mw_slot = jnp.where(mvalid, i32(cw.mw_slot), 0)
+    else:
+        mvalid = cw.mw_slot >= 0
+        mw_slot = jnp.where(mvalid, cw.mw_slot, 0)
+    node_raw = jnp.where(side == 0, ev_src[loc], ev_dst[loc])
+    part_raw = jnp.where(side == 0, ev_dst[loc], ev_src[loc])
+    return WirePack(
+        ev_src=ev_src, ev_dst=ev_dst, ev_t=cw.ev_t, ev_idx=ev_idx,
+        ev_valid=cw.ev_valid, ev_neg=i32(cw.ev_neg),
+        ev_src_slot=i32(cw.ev_src_slot), ev_pos_slot=i32(cw.ev_pos_slot),
+        ev_neg_slot=i32(cw.ev_neg_slot),
+        uniq_nid=i32(cw.uniq_nid), root_loc=i32(cw.root_loc),
+        cache_loc=i32(cw.cache_loc), cache_feat=cw.cache_feat,
+        cache_dt=cw.cache_dt, self_dt=cw.self_dt,
+        ia_row=ia_row, ia_col=i32(cw.ia_col), ia_loc=i32(cw.ia_loc),
+        ia_feat=ia_feat, ia_dt=cw.ia_dt,
+        mw_node=jnp.where(mvalid, node_raw, num_nodes),
+        mw_slot=mw_slot,
+        mw_partner=jnp.where(mvalid, part_raw, 0),
+        mw_t=jnp.where(mvalid, cw.ev_t[loc], 0.0),
+        mw_eid=jnp.where(mvalid, ev_idx[loc], 0),
+        cache_rslot=rslot(cw.cache_rslot),
+        ia_rslot=rslot(cw.ia_rslot),
+    )
+
+
+def expand_wire(wire, num_neighbors: int, intra_width: int,
                 num_nodes: int) -> DevicePack:
     """Device-side reconstruction of the full DevicePack (pure jnp; runs
     inside the jitted step).  Bit-equivalent to Pack.device() — verified
-    by tests/test_wire.py."""
+    by tests/test_wire.py.  Accepts a CompactWire transparently."""
+    if isinstance(wire, CompactWire):
+        wire = uncompact_wire(wire, num_nodes)
     K = num_neighbors
     P = intra_width
     R = wire.root_loc.shape[0]

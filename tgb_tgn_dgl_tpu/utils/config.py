@@ -137,6 +137,13 @@ class TrainConfig:
     # arch (transformer_attention, frozen or mailbox memory), layer 1,
     # 'recent' strategy; other configs fall back to the host packer.
     device_cache: bool = False
+    # Narrow-dtype wire encoding (ops/wire.CompactWire): index fields ship
+    # as uint16/uint8, the intra-edge feature column as batch positions,
+    # and the mailbox plan as one slot byte per direction — ~1.5× fewer
+    # H2D bytes per batch, bit-exact (tests/test_wire.py).  H2D bandwidth
+    # is the measured epoch wall on tunneled hosts (BASELINE.md), so this
+    # is nearly free throughput; turn off only to A/B.
+    wire_compact: bool = True
 
 
 @dataclass
