@@ -10,8 +10,11 @@ whole fresh-state epochs, interleaved.
 Usage: python baselines/ab_wire_compact.py [epochs_per_arm]
 """
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

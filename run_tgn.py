@@ -41,6 +41,10 @@ def main():
                              "each validation pass (the reference's "
                              "unwired backup_memory intent, "
                              "model_utils.py:290-308)")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="resume deterministically from a full-state "
+                             "checkpoint (written by --checkpoint-every); "
+                             "trains the remaining epochs up to --epochs")
     parser.add_argument("--patience", type=int, default=0,
                         help="early-stop after N non-improving validations "
                              "(0 = off)")
@@ -70,6 +74,11 @@ def main():
     print(f"dataset: {data.name}  events={data.num_edges}  "
           f"nodes={data.num_nodes}  msg_dim={data.msg_dim}")
     engine = Engine(data, config)
+    if args.resume:
+        engine.load_checkpoint(args.resume)
+        print(f"resumed from {args.resume} at epoch {engine._epoch}")
+        total = args.epochs or config.train.epoch
+        args.epochs = max(0, total - engine._epoch)
     early = None
     if args.patience:
         from tgb_tgn_dgl_tpu.engine.checkpoint import EarlyStopMonitor

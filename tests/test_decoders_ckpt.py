@@ -126,3 +126,44 @@ def test_engine_checkpoint_resume(tmp_path):
     e2.load_checkpoint(path)
     loss_b = e2.train_epoch()["loss"]
     assert loss_a == pytest.approx(loss_b, rel=1e-5)
+
+
+def test_engine_resume_epoch_cursor(tmp_path):
+    """fit() tracks the epoch cursor through checkpoints: interrupt after
+    2 epochs + resume(1) == uninterrupted 3 epochs (params match), and
+    epoch labels continue (the run_tgn.py --resume contract)."""
+    from tgb_tgn_dgl_tpu.data.dataset import synthetic
+    from tgb_tgn_dgl_tpu.engine.train import Engine
+    from tgb_tgn_dgl_tpu.utils.config import parse_config_dict
+
+    data = synthetic("tgbl-wiki-small", num_edges=1000, num_nodes=90,
+                     msg_dim=4, num_neg=4)
+    conf = {
+        "sampling": [{"neighbor": [5]}],
+        "memory": [{"dim_out": 8, "dim_time": 8}],
+        "gnn": [{"dim_out": 8, "att_head": 2}],
+        "train": [{"batch_size": 200, "lr": 1e-3, "frozen_memory": False,
+                   "seed": 3}],
+    }
+    quiet = lambda *a, **k: None  # noqa: E731
+
+    ref = Engine(data, parse_config_dict(conf))
+    ref.fit(epochs=3, log=quiet)
+
+    e1 = Engine(data, parse_config_dict(conf))
+    e1.fit(epochs=2, log=quiet)
+    assert e1._epoch == 2
+    path = str(tmp_path / "cursor.npz")
+    e1.save_checkpoint(path)
+
+    e2 = Engine(data, parse_config_dict(conf))
+    e2.load_checkpoint(path)
+    assert e2._epoch == 2
+    labels = []
+    e2.fit(epochs=1, log=lambda m: labels.append(m))
+    assert e2._epoch == 3
+    assert any("Epoch: 03" in m for m in labels)
+    for a, b in zip(jax.tree_util.tree_leaves(ref.params),
+                    jax.tree_util.tree_leaves(e2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -193,6 +193,7 @@ class Engine:
         self.neg_sampler = NegLinkSamplerDest(data.unique_dst(), seed=tr.seed)
         self._rng = jax.random.PRNGKey(tr.seed + 1)
         self._step = 0
+        self._epoch = 0   # completed-epoch cursor (checkpoint/resume)
         self._rows: Dict[str, np.ndarray] = {
             "train": np.nonzero(data.train_mask)[0],
             "val": np.nonzero(data.val_mask)[0],
@@ -1052,9 +1053,13 @@ class Engine:
         epochs = epochs or self.config.train.epoch
         history = {"loss": [], "val": [], "train_s": [], "val_s": []}
         start = time.time()
-        for e in range(epochs):
+        # epochs counts epochs to run NOW; labels/checkpoint names continue
+        # from the resume cursor (load_checkpoint restores self._epoch)
+        e0 = self._epoch
+        for e in range(e0, e0 + epochs):
             t0 = time.time()
             stats = self.train_epoch()
+            self._epoch = e + 1
             t1 = time.time()
             log(f"Epoch: {e + 1:02d}, Loss: {stats['loss']:.4f}, "
                 f"AP: {stats['ap']:.4f}, AUC: {stats['auc']:.4f}, "
@@ -1145,6 +1150,7 @@ class Engine:
             "rng": self._rng,
             "neg_rng": rng_state_to_array(self.neg_sampler.rng),
             "step": np.int64(self._step),
+            "epoch": np.int64(self._epoch),
         }
         if self.device_cache:
             st["packer"] = {"mail_ptr": self.packer.mail_ptr}
@@ -1174,6 +1180,7 @@ class Engine:
         self._rng = jnp.asarray(st["rng"])
         self.neg_sampler.rng = rng_state_from_array(st["neg_rng"])
         self._step = int(st["step"])
+        self._epoch = int(st["epoch"])
         pk = st["packer"]
         if self.device_cache:
             self.packer.mail_ptr = np.asarray(pk["mail_ptr"])
