@@ -138,6 +138,16 @@ def _bucket_pow2(n: int, lo: int = 128) -> int:
     b = lo
     while b < n:
         b *= 2
+    # Quarter-octave refinement: the smallest of {5/8, 6/8, 7/8, 1}·b that
+    # fits n.  Pure pow2 buckets waste up to 2× wire bytes, and H2D bytes
+    # are the throughput wall on tunneled hosts (SURVEY.md §5.8).  Buckets
+    # stay sticky (monotone per profile), so the compile count stays
+    # bounded: ≤4 steps per octave, one-time via the persistent cache.
+    if b > lo and b % 8 == 0:
+        for q in (5, 6, 7):
+            c = b // 8 * q
+            if c >= n:
+                return c
     return b
 
 

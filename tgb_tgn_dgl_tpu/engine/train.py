@@ -16,6 +16,7 @@ metric bookkeeping.  Protocol fidelity (SURVEY.md §7.4 item 3):
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import Dict, Optional
 
@@ -62,6 +63,11 @@ def _enable_persistent_compile_cache() -> None:
                               1.0)
     except Exception:
         pass
+
+
+# TGB_TGN_EPOCH_TRACE=1: print a per-epoch phase breakdown (host packing
+# vs backpressure waits vs end-of-epoch drain) — SURVEY.md §5.1 tracing.
+_EPOCH_TRACE = os.environ.get("TGB_TGN_EPOCH_TRACE", "") not in ("", "0")
 
 
 def _wire_key(iw, wire):
@@ -819,6 +825,11 @@ class Engine:
         acc = jnp.zeros(4, jnp.float32)
         total = 0
         nb = 0
+        # phase accounting (TGB_TGN_EPOCH_TRACE=1 prints the breakdown):
+        # pack = host packer+compact, wait = throttle backpressure,
+        # drain = end-of-epoch queue drain + metric D2H
+        tm = {"pack": 0.0, "wait": 0.0}
+        t_epoch0 = time.perf_counter()
         sanity = self.config.train.sanity_batches
         inflight = []  # completion throttle (train.max_inflight_batches)
         max_inflight = self.config.train.max_inflight_batches
@@ -828,7 +839,9 @@ class Engine:
         def throttle(handle):
             inflight.append(handle)
             if max_inflight and len(inflight) > max_inflight:
+                t0 = time.perf_counter()
                 jax.block_until_ready(inflight.pop(0))
+                tm["wait"] += time.perf_counter() - t0
 
         lean = self.device_cache
 
@@ -893,7 +906,14 @@ class Engine:
         # stateful and the device memory stream must follow it.
         pending = []
         pend_key = None
-        for lo, hi, wire, iw in self._prefetch("train"):
+        it = self._prefetch("train")
+        while True:
+            t0 = time.perf_counter()
+            nxt = next(it, None)
+            tm["pack"] += time.perf_counter() - t0
+            if nxt is None:
+                break
+            lo, hi, wire, iw = nxt
             if sanity and nb >= sanity:
                 # debug short-circuit (reference epoch_utils.py:188-192)
                 break
@@ -916,7 +936,21 @@ class Engine:
                 acc = dispatch_one(wire, iw, acc)
         for w in pending:
             acc = dispatch_one(w, pend_iw, acc)
+        t_drain0 = time.perf_counter()
+        # Start the metric D2H *behind* the still-queued device work so the
+        # tunnel round-trip (~0.5 s) overlaps the end-of-epoch queue drain
+        # instead of adding to it.
+        try:
+            acc.copy_to_host_async()
+        except AttributeError:
+            pass
         vals = np.asarray(acc)                           # ONE fetch
+        if _EPOCH_TRACE:
+            now = time.perf_counter()
+            print(f"[epoch-trace] total={now - t_epoch0:.3f}s "
+                  f"pack={tm['pack']:.3f}s wait={tm['wait']:.3f}s "
+                  f"drain+fetch={now - t_drain0:.3f}s batches={nb}",
+                  flush=True)
         nb = max(vals[3], 1.0)
         return {"loss": float(vals[0]), "ap": float(vals[1] / nb),
                 "auc": float(vals[2] / nb), "events": total}
@@ -1034,6 +1068,10 @@ class Engine:
                 opt, pes = dispatch_chunk(wire, iw, opt, pes)
             valid = jnp.asarray(np.arange(B) < (hi - lo))
             acc = self._eval_finalize(acc, opt, pes, valid)
+        try:
+            acc.copy_to_host_async()    # overlap D2H RTT with queue drain
+        except AttributeError:
+            pass
         vals = np.asarray(acc)                           # ONE fetch
         return float(vals[0] / max(vals[1], 1.0))
 
