@@ -140,9 +140,13 @@ def _bucket_pow2(n: int, lo: int = 128) -> int:
         b *= 2
     # Quarter-octave refinement: the smallest of {5/8, 6/8, 7/8, 1}·b that
     # fits n.  Pure pow2 buckets waste up to 2× wire bytes, and H2D bytes
-    # are the throughput wall on tunneled hosts (SURVEY.md §5.8).  Buckets
-    # stay sticky (monotone per profile), so the compile count stays
-    # bounded: ≤4 steps per octave, one-time via the persistent cache.
+    # are the throughput wall on tunneled hosts (SURVEY.md §5.8).
+    # NOTE: monotonicity is NOT a property of this function — callers MUST
+    # wrap results in _sticky_bucket before using them as jit-compile
+    # shape signatures (ops/wire.pack_to_wire's raw Ei is re-padded by
+    # pack_wire for exactly this reason).  With stickiness the compile
+    # count stays bounded: ≤4 steps per octave, one-time per profile via
+    # the persistent cache.
     if b > lo and b % 8 == 0:
         for q in (5, 6, 7):
             c = b // 8 * q

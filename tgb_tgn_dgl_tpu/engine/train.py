@@ -70,6 +70,53 @@ def _enable_persistent_compile_cache() -> None:
 _EPOCH_TRACE = os.environ.get("TGB_TGN_EPOCH_TRACE", "") not in ("", "0")
 
 
+class EpochStats:
+    """Lazy per-epoch training stats (mapping: loss/ap/auc/events).
+
+    The on-device (4,) metric accumulator starts its D2H copy
+    asynchronously at construction and materializes on first key access.
+    A driver that reads the stats immediately (Engine.fit's per-epoch log
+    line) blocks exactly like the old eager dict did; a driver that reads
+    them one epoch later (steady-state benchmarking, pipelined loggers)
+    overlaps the ~0.5 s tunneled D2H round-trip with the next epoch's
+    packing instead of adding it to every epoch's critical path."""
+
+    def __init__(self, acc, events: int):
+        self._acc = acc
+        self._events = events
+        self._vals = None
+        try:
+            acc.copy_to_host_async()
+        except Exception:
+            pass    # purely an optimization hint; sharded/odd backends
+                    # may raise RuntimeError instead of AttributeError
+
+    def _resolve(self):
+        if self._vals is None:
+            vals = np.asarray(self._acc)                 # ONE fetch
+            nb = max(vals[3], 1.0)
+            self._vals = {"loss": float(vals[0]),
+                          "ap": float(vals[1] / nb),
+                          "auc": float(vals[2] / nb),
+                          "events": self._events}
+            self._acc = None
+        return self._vals
+
+    def __getitem__(self, k):
+        if k == "events":
+            return self._events
+        return self._resolve()[k]
+
+    def __contains__(self, k):
+        return k in ("loss", "ap", "auc", "events")
+
+    def keys(self):
+        return ("loss", "ap", "auc", "events")
+
+    def __repr__(self):
+        return repr(self._resolve())
+
+
 def _wire_key(iw, wire):
     """Fuse-group signature: same-shape AND same-dtype wires share one
     compiled bucket (compact-wire dtypes can widen when a sticky bucket
@@ -805,7 +852,7 @@ class Engine:
                           self.config.memory.mailbox_size)
         return wire if cw is None else cw
 
-    def train_epoch(self) -> Dict[str, float]:
+    def train_epoch(self) -> "EpochStats":
         d = self.data
         self.packer.reset_cache()
         if self.device_cache:
@@ -828,7 +875,7 @@ class Engine:
         # phase accounting (TGB_TGN_EPOCH_TRACE=1 prints the breakdown):
         # pack = host packer+compact, wait = throttle backpressure,
         # drain = end-of-epoch queue drain + metric D2H
-        tm = {"pack": 0.0, "wait": 0.0}
+        tm = {"pack": 0.0, "wait": 0.0, "disp": 0.0}
         t_epoch0 = time.perf_counter()
         sanity = self.config.train.sanity_batches
         inflight = []  # completion throttle (train.max_inflight_batches)
@@ -920,6 +967,7 @@ class Engine:
             nb += 1
             total += hi - lo
             self._step += 1
+            t0 = time.perf_counter()
             if G > 1:
                 key = _wire_key(iw, wire)
                 if pending and key != pend_key:
@@ -934,26 +982,22 @@ class Engine:
                     pending = []
             else:
                 acc = dispatch_one(wire, iw, acc)
+            tm["disp"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
         for w in pending:
             acc = dispatch_one(w, pend_iw, acc)
-        t_drain0 = time.perf_counter()
-        # Start the metric D2H *behind* the still-queued device work so the
-        # tunnel round-trip (~0.5 s) overlaps the end-of-epoch queue drain
-        # instead of adding to it.
-        try:
-            acc.copy_to_host_async()
-        except AttributeError:
-            pass
-        vals = np.asarray(acc)                           # ONE fetch
+        tm["disp"] += time.perf_counter() - t0
+        # Stats resolve lazily: the D2H copy starts now (behind the queued
+        # device work) but only blocks when a key is first read, so a
+        # pipelined caller never pays the tunnel round-trip per epoch.
+        stats = EpochStats(acc, total)
         if _EPOCH_TRACE:
             now = time.perf_counter()
             print(f"[epoch-trace] total={now - t_epoch0:.3f}s "
-                  f"pack={tm['pack']:.3f}s wait={tm['wait']:.3f}s "
-                  f"drain+fetch={now - t_drain0:.3f}s batches={nb}",
-                  flush=True)
-        nb = max(vals[3], 1.0)
-        return {"loss": float(vals[0]), "ap": float(vals[1] / nb),
-                "auc": float(vals[2] / nb), "events": total}
+                  f"pack={tm['pack']:.3f}s disp={tm['disp']:.3f}s "
+                  f"wait={tm['wait']:.3f}s batches={nb} "
+                  f"(stats fetch deferred)", flush=True)
+        return stats
 
     def evaluate(self, split: str = "val") -> float:
         d = self.data
@@ -1070,8 +1114,9 @@ class Engine:
             acc = self._eval_finalize(acc, opt, pes, valid)
         try:
             acc.copy_to_host_async()    # overlap D2H RTT with queue drain
-        except AttributeError:
-            pass
+        except Exception:
+            pass    # optimization hint only; some backends raise
+                    # RuntimeError on sharded arrays (ADVICE.md r1)
         vals = np.asarray(acc)                           # ONE fetch
         return float(vals[0] / max(vals[1], 1.0))
 
@@ -1097,6 +1142,7 @@ class Engine:
         for e in range(e0, e0 + epochs):
             t0 = time.time()
             stats = self.train_epoch()
+            loss = stats["loss"]    # blocks: drain + metrics D2H complete
             self._epoch = e + 1
             t1 = time.time()
             log(f"Epoch: {e + 1:02d}, Loss: {stats['loss']:.4f}, "
