@@ -216,3 +216,22 @@ def test_val_snapshot_protects_training(tiny_data, device_cache):
     np.testing.assert_allclose(base, protected, rtol=1e-6)
     assert not prot_mut          # snapshot restored the clocks exactly
     assert unprot_mut            # val really advances clocks otherwise
+
+
+def test_wire_dedup_engine_exact(tiny_data):
+    """Dedup-wire training/eval must be numerically identical to the
+    compact-wire path (dropout off so the rng stream, which depends on
+    fuse-group boundaries, is out of the picture)."""
+    def run(wire_dedup):
+        raw = {k: [dict(v[0])] for k, v in TINY.items()}
+        raw["memory"] = [dict(mailbox_size=2, dim_out=32)]
+        raw["train"][0].update(dropout=0.0, att_dropout=0.0,
+                               wire_dedup=wire_dedup, fuse_steps=4,
+                               frozen_memory=False)
+        eng = Engine(tiny_data, parse_config_dict(raw))
+        l1 = eng.train_epoch()["loss"]
+        v = eng.evaluate("val")
+        l2 = eng.train_epoch()["loss"]
+        return l1, v, l2
+
+    assert run(False) == run(True)

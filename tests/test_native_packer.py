@@ -163,3 +163,51 @@ def test_native_wire_matches_python_wire():
             np.testing.assert_array_equal(
                 np.asarray(getattr(pw, f)), np.asarray(getattr(cw, f)),
                 err_msg=f"batch {bi} wire field {f}")
+
+
+def test_native_dedup_wire_matches_python():
+    """NativeStreamPacker.pack_wire_dedup must match the numpy oracle
+    bit-for-bit (fields, dtypes, buckets, advanced stream state)."""
+    from tgb_tgn_dgl_tpu.data.dependency import dependency_aware_batch
+    from tgb_tgn_dgl_tpu.data.native_packer import NativeStreamPacker
+
+    for (eval_mode, M, S, seed, cap) in [
+            (False, 1, 1, 0, 8), (False, 1, 3, 1, 8), (True, 5, 1, 2, 8),
+            (False, 2, 2, 3, 8), (True, 3, 4, 4, None)]:
+        r = np.random.default_rng(seed)
+        N, B, E = 90, 250, 800
+        cfg = PackerConfig(num_neighbors=6, batch_size=B,
+                           max_intra_block=cap, mailbox_size=S)
+        a = StreamPacker(N, cfg)
+        b = NativeStreamPacker(N, cfg)
+        t_all = np.sort(r.uniform(0, 1e6, E)).astype(np.float32)
+        src = r.integers(0, N, E).astype(np.int32)
+        dst = r.integers(0, N, E).astype(np.int32)
+        blocks = dependency_aware_batch(src, dst, B)
+        for lo in range(0, E, B):
+            hi = min(lo + B, E)
+            rows = np.arange(lo, hi)
+            neg = r.integers(0, N, (hi - lo, M)).astype(np.int32)
+            if M == 1:
+                neg = neg[:, 0]
+            args = (src[lo:hi], dst[lo:hi], t_all[lo:hi], rows,
+                    blocks[lo:hi], neg)
+            wa = a.pack_wire_dedup(*args, eval_mode=eval_mode)
+            wb = b.pack_wire_dedup(*args, eval_mode=eval_mode)
+            assert (wa is None) == (wb is None)
+            if wa is None:
+                continue
+            wire_a, Pa = wa
+            wire_b, Pb = wb
+            assert Pa == Pb
+            for f in wire_a._fields:
+                x, y = getattr(wire_a, f), getattr(wire_b, f)
+                assert x.dtype == y.dtype, (f, x.dtype, y.dtype)
+                np.testing.assert_array_equal(
+                    x, y, err_msg=f"eval={eval_mode} M={M} S={S} "
+                                  f"batch@{lo} field {f}")
+        for nm in ("cache_nbr", "cache_eid", "cache_t", "clock",
+                   "mail_ptr"):
+            np.testing.assert_array_equal(getattr(a, nm), getattr(b, nm),
+                                          err_msg=nm)
+        assert a.cur_e_id == b.cur_e_id

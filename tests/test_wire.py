@@ -131,3 +131,89 @@ def test_wire_size_reduction():
     full = sum(np.asarray(a).nbytes for a in pack.device())
     compact = sum(np.asarray(a).nbytes for a in wire)
     assert compact < full / 3, f"wire {compact} vs full {full}"
+
+
+def test_dedup_wire_exact():
+    """expand_dedup(pack_wire_dedup(...)) must reproduce Pack.device()
+    bit-for-bit across train/eval modes, multi-negative and mailbox
+    sizes — cache rows, intra edges, partner identity and the mailbox
+    plan are all re-derived on device from the deduplicated wire."""
+    import jax.numpy as jnp
+
+    from tgb_tgn_dgl_tpu.data.dependency import dependency_aware_batch
+    from tgb_tgn_dgl_tpu.ops.wire import expand_dedup
+
+    for (eval_mode, M, S, seed) in [
+            (False, 1, 1, 1), (False, 1, 3, 2), (True, 7, 1, 3),
+            (True, 4, 2, 4), (False, 3, 1, 5)]:
+        r = np.random.default_rng(seed)
+        N, B, E = 80, 200, 600
+        cfg = PackerConfig(num_neighbors=5, batch_size=B,
+                           max_intra_block=8, mailbox_size=S)
+        pk_a = StreamPacker(N, cfg)
+        pk_b = StreamPacker(N, cfg)
+        t_all = np.sort(r.uniform(0, 1e6, E)).astype(np.float32)
+        src_all = r.integers(0, N, E).astype(np.int32)
+        dst_all = r.integers(0, N, E).astype(np.int32)
+        blocks_all = dependency_aware_batch(src_all, dst_all, B)
+        for lo in range(0, E, B):
+            hi = min(lo + B, E)
+            rows = np.arange(lo, hi)
+            neg = r.integers(0, N, (hi - lo, M)).astype(np.int32)
+            if M == 1:
+                neg = neg[:, 0]
+            args = (src_all[lo:hi], dst_all[lo:hi], t_all[lo:hi], rows,
+                    blocks_all[lo:hi], neg)
+            pack = pk_a.pack(*args, eval_mode=eval_mode)
+            out = pk_b.pack_wire_dedup(*args, eval_mode=eval_mode)
+            assert out is not None
+            wire, P = out
+            assert pack.nbr_kind.shape[1] == cfg.num_neighbors + 1 + P
+            want = pack.device()
+            got = expand_dedup(jax.tree.map(jnp.asarray, wire),
+                               cfg.num_neighbors, P, N)
+            for f in type(want)._fields:
+                a = getattr(want, f)
+                b = getattr(got, f)
+                if a is None:
+                    assert b is None, f
+                    continue
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b).astype(np.asarray(a).dtype),
+                    err_msg=f"eval={eval_mode} M={M} S={S} "
+                            f"batch@{lo} field {f}")
+        # stream state advanced identically on both packers
+        for nm in ("cache_nbr", "cache_eid", "cache_t", "clock",
+                   "mail_ptr"):
+            np.testing.assert_array_equal(getattr(pk_a, nm),
+                                          getattr(pk_b, nm), err_msg=nm)
+        assert pk_a.cur_e_id == pk_b.cur_e_id
+
+
+def test_dedup_wire_size_reduction():
+    """The dedup wire must ship meaningfully fewer bytes than the
+    compact wire on a wiki-like stream (~1.6× fewer at wiki scale; this
+    tiny stream dedups less)."""
+    from tgb_tgn_dgl_tpu.data.dependency import dependency_aware_batch
+    from tgb_tgn_dgl_tpu.ops.wire import compact_wire
+
+    data = synthetic("tgbl-wiki-small", num_edges=4000, num_nodes=300,
+                     msg_dim=4, num_neg=1)
+    B = 500
+    cfg = PackerConfig(num_neighbors=10, batch_size=B, max_intra_block=16)
+    pk_a = StreamPacker(data.num_nodes, cfg)
+    pk_b = StreamPacker(data.num_nodes, cfg)
+    blocks = dependency_aware_batch(data.src, data.dst, B)
+    rng = np.random.default_rng(0)
+    tot_c = tot_d = 0
+    for lo in range(0, 4000, B):
+        rows = np.arange(lo, lo + B)
+        neg = rng.choice(data.unique_dst(), B).astype(np.int32)
+        args = (data.src[rows], data.dst[rows], data.t[rows], rows,
+                blocks[rows], neg)
+        wire, iw = pk_a.pack_wire(*args)
+        cw = compact_wire(wire, data.num_nodes, iw, 1)
+        tot_c += sum(np.asarray(a).nbytes for a in cw if a is not None)
+        dw, _ = pk_b.pack_wire_dedup(*args)
+        tot_d += sum(np.asarray(a).nbytes for a in dw if a is not None)
+    assert tot_d < 0.8 * tot_c, (tot_d, tot_c)

@@ -334,6 +334,14 @@ void packer_pack_begin(void* h, const int32_t* src, const int32_t* dst,
   out_sizes[1] = p_exact;
   out_sizes[2] = (int64_t)pb.uniq.size();
   out_sizes[3] = nnz;
+  // unique ROOT nodes (DedupWire cr-table height) + block count
+  {
+    std::vector<int32_t> ur(pb.root_nid);
+    std::sort(ur.begin(), ur.end());
+    ur.erase(std::unique(ur.begin(), ur.end()), ur.end());
+    out_sizes[4] = (int64_t)ur.size();
+  }
+  out_sizes[5] = pb.k;
 }
 
 // Phase 2: fill python-allocated output buffers (bucketed shapes) and
@@ -894,6 +902,201 @@ void packer_pack_fill_lean(
 
   // release scratch markers; do NOT touch clock or cache (device-owned)
   for (int32_t v : pb.uniq) p->loc_of[v] = -1;
+  pb = PendingBatch();
+}
+
+// DedupWire emission (ops/wire.DedupWire; numpy oracle
+// StreamPacker.pack_wire_dedup — must match it bit-for-bit,
+// tests/test_native_packer.py).  Cache rows ship once per unique root
+// node; the intra COO collapses to per-slot ranges into the node-major
+// event-position list plus a prefix-layout Δt list.  All outputs are
+// int32/float32 staging buffers; python narrows dtypes.
+void packer_pack_fill_wire3(
+    void* h, int64_t b_bucket, int64_t r_bucket, int32_t insert,
+    int32_t write_mail,
+    // events (B,)
+    int32_t* ev_src, int32_t* ev_dst, float* ev_t, int32_t* ev_idx_out,
+    uint8_t* ev_valid, int32_t* ev_neg,
+    int32_t* ev_src_slot, int32_t* ev_pos_slot, int32_t* ev_neg_slot,
+    // uniq (Ub,)
+    int64_t u_bucket, int32_t* uniq_nid,
+    // roots (R,)
+    int32_t* root_loc, int32_t* root_cr,
+    // cr tables (Ur, K)
+    int64_t ur_bucket, int32_t* cr_loc, int32_t* cr_feat,
+    // Δt outputs: cache (R, K), self (R,), intra prefix list (Ei,)
+    float* cache_dt, float* self_dt, int64_t ei_bucket, float* ia_dt,
+    // intra ranges: ne_pos (2B,), lo/cnt/start (R,)
+    int32_t* ne_pos, int32_t* intra_lo, int32_t* intra_cnt,
+    int32_t* intra_start,
+    // mailbox plan, slots only (2B,), -1 = no write
+    int32_t* mw_slot) {
+  auto* p = static_cast<Packer*>(h);
+  auto& pb = p->pending;
+  const int32_t K = p->K;
+  const int64_t braw = pb.braw, M = pb.M;
+  const int64_t P = pb.p_exact;
+  const int32_t pad_loc = (int32_t)(u_bucket - 1);
+
+  // --- uniq table -----------------------------------------------------
+  {
+    const std::vector<int32_t>& uniq = pb.uniq;
+    int64_t U = (int64_t)uniq.size();
+    for (int64_t i = 0; i < u_bucket; ++i)
+      uniq_nid[i] = i < U ? uniq[i] : (int32_t)p->N;
+  }
+
+  // --- unique root nodes (sorted) + cr tables (pre-insert cache) ------
+  {
+    std::vector<int32_t> ur(pb.root_nid);
+    std::sort(ur.begin(), ur.end());
+    ur.erase(std::unique(ur.begin(), ur.end()), ur.end());
+    const int64_t n_ur = (int64_t)ur.size();
+    for (int64_t r = 0; r < ur_bucket; ++r) {
+      const int64_t row = r * K;
+      if (r < n_ur) {
+        const int64_t base = (int64_t)ur[r] * K;
+        for (int32_t j = 0; j < K; ++j) {
+          int64_t e = p->cache_eid[base + j];
+          if (e >= 0) {
+            cr_feat[row + j] = (int32_t)e;
+            cr_loc[row + j] = p->loc_of[p->cache_nbr[base + j]];
+          } else {
+            cr_feat[row + j] = -1;
+            cr_loc[row + j] = pad_loc;
+          }
+        }
+      } else {
+        for (int32_t j = 0; j < K; ++j) {
+          cr_feat[row + j] = -1;
+          cr_loc[row + j] = pad_loc;
+        }
+      }
+    }
+    for (int64_t s2 = 0; s2 < r_bucket; ++s2) {
+      if (s2 < pb.total_roots) {
+        root_cr[s2] = (int32_t)(std::lower_bound(ur.begin(), ur.end(),
+                                                 pb.root_nid[s2]) -
+                                ur.begin());
+      } else {
+        root_cr[s2] = (int32_t)(ur_bucket - 1);
+      }
+    }
+  }
+
+  // --- pads ------------------------------------------------------------
+  for (int64_t s2 = 0; s2 < r_bucket; ++s2) {
+    root_loc[s2] = pad_loc;
+    self_dt[s2] = 0.0f;
+    intra_lo[s2] = 0;
+    intra_cnt[s2] = 0;
+    intra_start[s2] = 0;
+  }
+  std::memset(cache_dt, 0, sizeof(float) * r_bucket * K);
+  for (int64_t i = 0; i < ei_bucket; ++i) ia_dt[i] = 0.0f;
+  for (int64_t i = 0; i < 2 * b_bucket; ++i)
+    ne_pos[i] = i < (int64_t)pb.run_pos.size() ? (int32_t)pb.run_pos[i] : 0;
+
+  // --- per-block clock advance + Δt emission ----------------------------
+  int64_t dt_cursor = 0;
+  for (int32_t blk = 0; blk < pb.k; ++blk) {
+    const int64_t qlo = pb.blk_ptr[blk], qhi = pb.blk_ptr[blk + 1];
+    if (pb.eval_mode) {
+      float mx = -1e30f;
+      for (int64_t q = qlo; q < qhi; ++q)
+        mx = std::max(mx, pb.t[pb.ev_by_block[q]]);
+      if (qhi > qlo) std::fill(p->clock.begin(), p->clock.end(), mx);
+    } else {
+      for (int64_t q = qlo; q < qhi; ++q) {
+        int64_t i = pb.ev_by_block[q];
+        for (int64_t j = 0; j < M; ++j)
+          p->clock[pb.neg[i * M + j]] = pb.t[i];
+      }
+    }
+    for (int64_t q = qlo; q < qhi; ++q) {
+      int64_t i = pb.ev_by_block[q];
+      p->clock[pb.dst[i]] = pb.t[i];
+    }
+    for (int64_t q = qlo; q < qhi; ++q) {
+      int64_t i = pb.ev_by_block[q];
+      p->clock[pb.src[i]] = pb.t[i];
+    }
+
+    for (int64_t s2 = pb.offsets[blk]; s2 < pb.offsets[blk + 1]; ++s2) {
+      int32_t u = pb.root_nid[s2];
+      root_loc[s2] = p->loc_of[u];
+      const int64_t base = (int64_t)u * K;
+      const int64_t row = s2 * K;
+      for (int32_t j = 0; j < K; ++j) {
+        int64_t e = p->cache_eid[base + j];
+        if (e >= 0)
+          cache_dt[row + j] =
+              p->cache_t[base + j] - p->clock[p->cache_nbr[base + j]];
+      }
+      self_dt[s2] = 0.0f - p->clock[u];
+      int64_t full = pb.intra_counts[s2];
+      if (full > 0 && P > 0) {
+        auto [a, b2] = pb.run_of[u];
+        int64_t take = std::min<int64_t>(full, P);
+        int64_t lo = a + full - take;
+        intra_lo[s2] = (int32_t)lo;
+        intra_cnt[s2] = (int32_t)take;
+        intra_start[s2] = (int32_t)dt_cursor;
+        for (int64_t q2 = 0; q2 < take; ++q2) {
+          int64_t pos = pb.run_pos[lo + q2];
+          int32_t partner = pb.run_partner[lo + q2];
+          ia_dt[dt_cursor++] = pb.t[pos] - p->clock[partner];
+        }
+      }
+    }
+  }
+
+  // --- events + slot maps ------------------------------------------------
+  for (int64_t i = 0; i < b_bucket; ++i) {
+    bool v = i < braw;
+    ev_src[i] = v ? pb.src[i] : 0;
+    ev_dst[i] = v ? pb.dst[i] : 0;
+    ev_t[i] = v ? pb.t[i] : 0.0f;
+    ev_idx_out[i] = v ? (int32_t)pb.ev_idx[i] : 0;
+    ev_valid[i] = v ? 1 : 0;
+    ev_src_slot[i] = v ? (int32_t)pb.ev_src_slot[i] : 0;
+    ev_pos_slot[i] = v ? (int32_t)pb.ev_pos_slot[i] : 0;
+    for (int64_t j = 0; j < M; ++j) {
+      ev_neg[i * M + j] = v ? pb.neg[i * M + j] : 0;
+      ev_neg_slot[i * M + j] = v ? (int32_t)pb.ev_neg_slot[i * M + j] : 0;
+    }
+  }
+
+  // --- mailbox write plan, slots only (identity-indexed) -----------------
+  {
+    const int32_t S = p->S;
+    const int64_t W2 = 2 * b_bucket;
+    for (int64_t i = 0; i < W2; ++i) mw_slot[i] = -1;
+    std::unordered_map<int32_t, std::vector<int64_t>> writes;
+    writes.reserve(2 * braw);
+    for (int64_t i = 0; write_mail && i < braw; ++i) {
+      writes[pb.src[i]].push_back(2 * i);
+      writes[pb.dst[i]].push_back(2 * i + 1);
+    }
+    for (auto& kv : writes) {
+      int32_t u = kv.first;
+      auto& v = kv.second;
+      int64_t kept = std::min<int64_t>((int64_t)v.size(), S);
+      int64_t start = (int64_t)v.size() - kept;
+      int64_t ptr = p->mail_ptr[u];
+      for (int64_t q = 0; q < kept; ++q)
+        mw_slot[v[start + q]] = (int32_t)((ptr + q) % S);
+      if (insert) p->mail_ptr[u] = (ptr + kept) % S;
+    }
+  }
+
+  // release the loc_of scratch marker
+  for (int32_t v : pb.uniq) p->loc_of[v] = -1;
+
+  if (insert) {
+    packer_insert(h, pb.src.data(), pb.dst.data(), pb.t.data(),
+                  pb.ev_idx.data(), braw);
+  }
   pb = PendingBatch();
 }
 

@@ -65,6 +65,18 @@ def _lib():
         if hasattr(lib, "packer_pack_fill_wire2"):
             lib.packer_pack_fill_wire2.argtypes = (
                 lib.packer_pack_fill_wire.argtypes + [i32p, i32p])
+        if hasattr(lib, "packer_pack_fill_wire3"):
+            lib.packer_pack_fill_wire3.argtypes = [
+                c.c_void_p, c.c_int64, c.c_int64, c.c_int32,
+                c.c_int32,                                   # write_mail
+                i32p, i32p, f32p, i32p, u8p, i32p,          # events
+                i32p, i32p, i32p,                            # slot maps
+                c.c_int64, i32p,                             # uniq
+                i32p, i32p,                                  # roots loc/cr
+                c.c_int64, i32p, i32p,                       # cr tables
+                f32p, f32p, c.c_int64, f32p,                 # dt outputs
+                i32p, i32p, i32p, i32p,                      # intra ranges
+                i32p]                                        # mw_slot
         if hasattr(lib, "packer_pack_fill_lean"):
             lib.packer_pack_fill_lean.argtypes = [
                 c.c_void_p, c.c_int64, c.c_int64, c.c_int32,
@@ -205,7 +217,7 @@ class NativeStreamPacker:
         M = neg2d.shape[1]
         cap_p = -1 if cfg.max_intra_block is None else cfg.max_intra_block
 
-        sizes = np.zeros(4, np.int64)
+        sizes = np.zeros(6, np.int64)
         lib.packer_pack_begin(self._h, src, dst, t, ev_idx64, blocks,
                               neg2d, Braw, M, int(eval_mode), cap_p, sizes)
         total_roots, p_exact, U = int(sizes[0]), int(sizes[1]), int(sizes[2])
@@ -292,7 +304,7 @@ class NativeStreamPacker:
         M = neg2d.shape[1]
         cap_p = -1 if cfg.max_intra_block is None else cfg.max_intra_block
 
-        sizes = np.zeros(4, np.int64)
+        sizes = np.zeros(6, np.int64)
         lib.packer_pack_begin(self._h, src, dst, t, ev_idx64, blocks,
                               neg2d, Braw, M, int(eval_mode), cap_p, sizes)
         total_roots, p_exact, U, nnz = (int(sizes[0]), int(sizes[1]),
@@ -371,6 +383,132 @@ class NativeStreamPacker:
             ia_dt=ia_dt,
             mw_node=mw_node, mw_slot=mw_slot, mw_partner=mw_partner,
             mw_t=mw_t, mw_eid=mw_eid,
+        )
+        return wire, P
+
+    def pack_wire_dedup(self, src, dst, t, ev_idx, blocks, neg,
+                        eval_mode: bool = False, insert: bool = True,
+                        write_mail: bool = True):
+        """Pack one batch straight into the DedupWire (ops/wire.py):
+        C++ fills int32/float32 staging buffers, python narrows dtypes
+        with the exact rules of the numpy oracle
+        (StreamPacker.pack_wire_dedup; parity in
+        tests/test_native_packer.py).  Returns (DedupWire, intra_width,
+        num_blocks_bucket) or None (caller falls back to pack_wire)."""
+        from ..ops.wire import DedupWire
+
+        cfg = self.cfg
+        lib = self._lib
+        if not hasattr(lib, "packer_pack_fill_wire3"):
+            return None
+        K = cfg.num_neighbors
+        Braw = len(src)
+        B = cfg.batch_size
+        if Braw == 0 or Braw > B:
+            return None
+        src = np.ascontiguousarray(src, np.int32)
+        dst = np.ascontiguousarray(dst, np.int32)
+        t = np.ascontiguousarray(t, np.float32)
+        ev_idx64 = np.ascontiguousarray(ev_idx, np.int64)
+        blocks = np.ascontiguousarray(blocks, np.int32)
+        neg = np.asarray(neg, np.int32)
+        neg2d = np.ascontiguousarray(neg.reshape(Braw, -1))
+        M = neg2d.shape[1]
+        cap_p = -1 if cfg.max_intra_block is None else cfg.max_intra_block
+
+        sizes = np.zeros(6, np.int64)
+        lib.packer_pack_begin(self._h, src, dst, t, ev_idx64, blocks,
+                              neg2d, Braw, M, int(eval_mode), cap_p, sizes)
+        total_roots, p_exact, U, nnz, n_ur = (int(sizes[0]),
+                                              int(sizes[1]),
+                                              int(sizes[2]),
+                                              int(sizes[3]),
+                                              int(sizes[4]))
+        skey = (M, bool(eval_mode))
+        P = (cfg.max_intra_block if cfg.max_intra_block is not None
+             else self._sticky_bucket(skey, "P", _bucket_p(p_exact)))
+        if P > 255:
+            return None                       # intra_cnt ships as u8
+        R = self._sticky_bucket(
+            skey, "R", _bucket_pow2(max(total_roots, 1), cfg.root_bucket_lo))
+        Ub = self._sticky_bucket(
+            skey, "Ub", _bucket_pow2(U + 1, cfg.root_bucket_lo))
+        Ur = self._sticky_bucket(
+            skey, "Ur", _bucket_pow2(n_ur + 1, cfg.root_bucket_lo))
+        Ei = self._sticky_bucket(
+            skey, "Ei", _bucket_pow2(max(nnz, 1), lo=2 * B))
+
+        ev_src = np.empty(B, np.int32)
+        ev_dst = np.empty(B, np.int32)
+        ev_t = np.empty(B, np.float32)
+        ev_idx_out = np.empty(B, np.int32)
+        ev_valid = np.empty(B, np.uint8)
+        ev_neg = np.empty((B, M), np.int32)
+        ev_src_slot = np.empty(B, np.int32)
+        ev_pos_slot = np.empty(B, np.int32)
+        ev_neg_slot = np.empty((B, M), np.int32)
+        uniq_nid = np.empty(Ub, np.int32)
+        root_loc = np.empty(R, np.int32)
+        root_cr = np.empty(R, np.int32)
+        cr_loc = np.empty((Ur, K), np.int32)
+        cr_feat = np.empty((Ur, K), np.int32)
+        cache_dt = np.empty((R, K), np.float32)
+        self_dt = np.empty(R, np.float32)
+        ia_dt = np.empty(Ei, np.float32)
+        ne_pos = np.empty(2 * B, np.int32)
+        intra_lo = np.empty(R, np.int32)
+        intra_cnt = np.empty(R, np.int32)
+        intra_start = np.empty(R, np.int32)
+        mw_slot = np.empty(2 * B, np.int32)
+
+        lib.packer_pack_fill_wire3(
+            self._h, B, R, int(insert), int(write_mail),
+            ev_src, ev_dst, ev_t, ev_idx_out, ev_valid, ev_neg,
+            ev_src_slot, ev_pos_slot, ev_neg_slot,
+            Ub, uniq_nid,
+            root_loc, root_cr,
+            Ur, cr_loc, cr_feat,
+            cache_dt, self_dt, Ei, ia_dt,
+            ne_pos, intra_lo, intra_cnt, intra_start,
+            mw_slot)
+
+        N = self.N
+        S = cfg.mailbox_size
+
+        def enc(a, maxval):
+            if maxval <= 0xFFFF:
+                return a.astype(np.uint16)
+            return a if a.dtype == np.int32 else a.astype(np.int32)
+
+        if S <= 254:
+            mw_out = np.where(mw_slot >= 0, mw_slot, 255).astype(np.uint8)
+        else:
+            mw_out = mw_slot
+
+        wire = DedupWire(
+            ev_src=enc(ev_src, N - 1),
+            ev_dst=enc(ev_dst, N - 1),
+            ev_t=ev_t,
+            ev_idx=ev_idx_out,
+            ev_valid=ev_valid.astype(bool),
+            ev_neg=enc(ev_neg if M > 1 else ev_neg[:, 0], N - 1),
+            ev_src_slot=enc(ev_src_slot, R - 1),
+            ev_pos_slot=enc(ev_pos_slot, R - 1),
+            ev_neg_slot=enc(ev_neg_slot if M > 1 else ev_neg_slot[:, 0],
+                            R - 1),
+            uniq_nid=enc(uniq_nid, N),
+            root_loc=enc(root_loc, Ub - 1),
+            root_cr=enc(root_cr, Ur - 1),
+            cr_loc=enc(cr_loc, Ub - 1),
+            cr_feat=cr_feat,
+            cache_dt=cache_dt,
+            self_dt=self_dt,
+            ne_pos=enc(ne_pos, B - 1),
+            intra_lo=enc(intra_lo, 2 * B - 1),
+            intra_cnt=intra_cnt.astype(np.uint8),
+            intra_start=enc(intra_start, Ei - 1),
+            ia_dt=ia_dt,
+            mw_slot=mw_out,
         )
         return wire, P
 

@@ -590,6 +590,258 @@ class StreamPacker:
             )
         return wire, pack.nbr_kind.shape[1] - K - 1
 
+    def pack_wire_dedup(self, src, dst, t, ev_idx, blocks, neg,
+                        eval_mode: bool = False, insert: bool = True,
+                        write_mail: bool = True):
+        """Pack one batch into the deduplicated DedupWire (ops/wire.py)
+        and advance the stream state exactly like ``pack``.  Returns
+        (DedupWire, intra_width), or None when the batch is not
+        representable (intra window > 255) — callers then fall back to
+        ``pack_wire``.  This is the numpy oracle; the native packer's
+        ``packer_pack_fill_wire3`` must match it bit-for-bit."""
+        from ..ops.wire import DedupWire
+
+        cfg = self.cfg
+        K = cfg.num_neighbors
+        Braw = len(src)
+        B = cfg.batch_size
+        if Braw == 0 or Braw > B or cfg.layers > 1:
+            return None
+        src = np.asarray(src, np.int32)
+        dst = np.asarray(dst, np.int32)
+        t = np.asarray(t, np.float32)
+        ev_idx = np.asarray(ev_idx, np.int64)
+        blocks = np.asarray(blocks, np.int64)
+        neg = np.asarray(neg, np.int32)
+        neg2d = neg.reshape(Braw, -1)
+        M = neg2d.shape[1]
+        k = int(blocks.max()) + 1
+
+        # --- per-node event runs: node-major positions (= ne_pos) -----
+        nodes2 = np.concatenate([src, dst]).astype(np.int64)
+        pos2 = np.concatenate(
+            [np.arange(Braw), np.arange(Braw)]).astype(np.int64)
+        order2 = np.lexsort((pos2, nodes2))
+        s_nodes2 = nodes2[order2]
+        s_pos2 = pos2[order2]
+        s_blk2 = blocks[s_pos2]
+        run_nodes, run_starts = np.unique(s_nodes2, return_index=True)
+        run_ends = np.append(run_starts[1:], len(s_nodes2))
+        run_of = {int(u): (int(a), int(b))
+                  for u, a, b in zip(run_nodes, run_starts, run_ends)}
+
+        # --- pass 1: root sets + slot maps (same as pack) --------------
+        root_nid_parts: List[np.ndarray] = []
+        block_sel: List[np.ndarray] = []
+        offsets = [0]
+        ev_src_slot = np.zeros(Braw, np.int64)
+        ev_pos_slot = np.zeros(Braw, np.int64)
+        ev_neg_slot = np.zeros((Braw, M), np.int64)
+        for i in range(k):
+            sel = np.nonzero(blocks == i)[0]
+            block_sel.append(sel)
+            roots_i = np.unique(np.concatenate(
+                [src[sel], dst[sel], neg2d[sel].ravel()]))
+            off = offsets[-1]
+            ev_src_slot[sel] = np.searchsorted(roots_i, src[sel]) + off
+            ev_pos_slot[sel] = np.searchsorted(roots_i, dst[sel]) + off
+            ev_neg_slot[sel] = np.searchsorted(roots_i, neg2d[sel]) + off
+            root_nid_parts.append(roots_i.astype(np.int32))
+            offsets.append(off + len(roots_i))
+        total_roots = offsets[-1]
+        root_nid_all = np.concatenate(root_nid_parts)
+
+        # --- intra windows + P --------------------------------------------
+        intra_lo_all = np.zeros(total_roots, np.int64)
+        intra_cnt_all = np.zeros(total_roots, np.int64)
+        P_exact = 0
+        for i in range(k):
+            off = offsets[i]
+            for j, r in enumerate(root_nid_parts[i]):
+                run = run_of.get(int(r))
+                if run is None:
+                    continue
+                a, b2 = run
+                full = int(np.searchsorted(s_blk2[a:b2], i, side="left"))
+                P_exact = max(P_exact, full)
+                intra_lo_all[off + j] = a
+                intra_cnt_all[off + j] = full
+        skey = (M, bool(eval_mode))
+        if cfg.max_intra_block is not None:
+            P_exact = min(P_exact, cfg.max_intra_block)
+            P = cfg.max_intra_block
+        else:
+            P = self._sticky_bucket(skey, "P", _bucket_p(P_exact))
+        if P > 255:
+            return None                       # intra_cnt ships as u8
+        keep = np.minimum(intra_cnt_all, P_exact)
+        intra_lo_all += intra_cnt_all - keep  # most recent P_exact
+        intra_cnt_all = keep
+        intra_lo_all = np.where(keep > 0, intra_lo_all, 0)
+        # prefix layout of the intra Δt list (slot-major, window order);
+        # zero-width windows keep start 0 (native-packer parity)
+        intra_start_all = np.concatenate(
+            [[0], np.cumsum(intra_cnt_all)[:-1]]).astype(np.int64) \
+            if total_roots else np.zeros(0, np.int64)
+        intra_start_all = np.where(intra_cnt_all > 0, intra_start_all, 0)
+        nnz = int(intra_cnt_all.sum())
+        R = self._sticky_bucket(
+            skey, "R", _bucket_pow2(max(total_roots, 1), cfg.root_bucket_lo))
+        Ei = self._sticky_bucket(
+            skey, "Ei", _bucket_pow2(max(nnz, 1), lo=2 * B))
+
+        # --- memory read set (pre-batch cache state) -----------------------
+        cache_eid_roots = self.cache_eid[root_nid_all]        # (TR, K)
+        cache_nbr_roots = self.cache_nbr[root_nid_all]
+        valid_roots_cache = cache_eid_roots >= 0
+        uniq = np.unique(np.concatenate(
+            [root_nid_all.astype(np.int64),
+             cache_nbr_roots[valid_roots_cache].astype(np.int64)]))
+        U = len(uniq)
+        Ub = self._sticky_bucket(
+            skey, "Ub", _bucket_pow2(U + 1, cfg.root_bucket_lo))
+        uniq_nid = np.full(Ub, self.N, np.int64)
+        uniq_nid[:U] = uniq
+        pad_loc = Ub - 1
+        root_loc = np.full(R, pad_loc, np.int64)
+        root_loc[:total_roots] = np.searchsorted(uniq, root_nid_all)
+
+        # --- cr tables: one cache row per unique ROOT node (sorted) --------
+        uniq_roots, root_cr_real = np.unique(root_nid_all,
+                                             return_inverse=True)
+        Ur = self._sticky_bucket(
+            skey, "Ur",
+            _bucket_pow2(len(uniq_roots) + 1, cfg.root_bucket_lo))
+        cr_feat = np.full((Ur, K), -1, np.int64)
+        cr_loc = np.full((Ur, K), pad_loc, np.int64)
+        ur_eid = self.cache_eid[uniq_roots]
+        ur_nbr = self.cache_nbr[uniq_roots]
+        ur_valid = ur_eid >= 0
+        cr_feat[:len(uniq_roots)] = np.where(ur_valid, ur_eid, -1)
+        locs = np.searchsorted(uniq, ur_nbr.astype(np.int64))
+        cr_loc[:len(uniq_roots)] = np.where(ur_valid, locs, pad_loc)
+        root_cr = np.full(R, Ur - 1, np.int64)
+        root_cr[:total_roots] = root_cr_real
+
+        # --- pass 2: clock advance + Δt emission ----------------------------
+        cache_dt = np.zeros((R, K), np.float32)
+        self_dt = np.zeros(R, np.float32)
+        ia_dt = np.zeros(Ei, np.float32)
+        for i in range(k):
+            sel = block_sel[i]
+            ti = t[sel]
+            if eval_mode:
+                self.clock[:] = ti.max() if len(ti) else self.clock
+            else:
+                self.clock[neg2d[sel].ravel()] = np.repeat(ti, M)
+            self.clock[dst[sel]] = ti
+            self.clock[src[sel]] = ti
+            off = offsets[i]
+            roots_i = root_nid_parts[i]
+            n_i = len(roots_i)
+            rows = slice(off, off + n_i)
+            c_nbr = self.cache_nbr[roots_i]
+            c_eid = self.cache_eid[roots_i]
+            c_t = self.cache_t[roots_i]
+            cache_dt[rows] = np.where(c_eid >= 0,
+                                      c_t - self.clock[c_nbr], 0.0)
+            self_dt[rows] = 0.0 - self.clock[roots_i]
+            for j in range(n_i):
+                s2 = off + j
+                cnt = int(intra_cnt_all[s2])
+                if cnt == 0:
+                    continue
+                lo = int(intra_lo_all[s2])
+                take = s_pos2[lo:lo + cnt]
+                partners = np.where(s_nodes2[lo:lo + cnt] == src[take],
+                                    dst[take], src[take])
+                ia_dt[int(intra_start_all[s2]):
+                      int(intra_start_all[s2]) + cnt] = \
+                    t[take] - self.clock[partners]
+
+        # --- mailbox write plan (identity-indexed; slots only) ----------------
+        S = cfg.mailbox_size
+        W = 2 * B
+        mw_slot_full = np.full(W, -1, np.int64)
+        if write_mail:
+            wnode = np.empty(2 * Braw, np.int64)
+            wnode[0::2], wnode[1::2] = src, dst
+            posw = np.arange(2 * Braw)
+            order = np.lexsort((posw, wnode))
+            sn = wnode[order]
+            runs, starts = np.unique(sn, return_index=True)
+            ends = np.append(starts[1:], len(sn))
+            for u, a, b2 in zip(runs, starts, ends):
+                c = b2 - a
+                kept = min(c, S)
+                take = order[b2 - kept:b2]
+                ptr = self.mail_ptr[u]
+                mw_slot_full[take] = (ptr + np.arange(kept)) % S
+                if insert:
+                    self.mail_ptr[u] = (ptr + kept) % S
+
+        # --- dtype narrowing (static-bucket dependent only) -------------------
+        def enc(a, maxval):
+            a = np.asarray(a)
+            if maxval <= 0xFFFF:
+                return a.astype(np.uint16)
+            return a.astype(np.int32)
+
+        def pad1(a, fill=0, dtype=np.int64):
+            out = np.full(B, fill, dtype)
+            out[:Braw] = a
+            return out
+
+        ev_valid = np.zeros(B, bool)
+        ev_valid[:Braw] = True
+        neg_pad = np.zeros((B, M), np.int64)
+        neg_pad[:Braw] = neg2d
+        neg_slot_pad = np.zeros((B, M), np.int64)
+        neg_slot_pad[:Braw] = ev_neg_slot
+        ne_pos = np.zeros(2 * B, np.int64)
+        ne_pos[:2 * Braw] = s_pos2
+        intra_lo = np.zeros(R, np.int64)
+        intra_lo[:total_roots] = intra_lo_all
+        intra_cnt = np.zeros(R, np.int64)
+        intra_cnt[:total_roots] = intra_cnt_all
+        intra_start = np.zeros(R, np.int64)
+        intra_start[:total_roots] = intra_start_all
+        if S <= 254:
+            mw_slot = np.where(mw_slot_full >= 0, mw_slot_full,
+                               255).astype(np.uint8)
+        else:
+            mw_slot = mw_slot_full.astype(np.int32)
+
+        wire = DedupWire(
+            ev_src=enc(pad1(src), self.N - 1),
+            ev_dst=enc(pad1(dst), self.N - 1),
+            ev_t=pad1(t, dtype=np.float32),
+            ev_idx=pad1(ev_idx).astype(np.int32),
+            ev_valid=ev_valid,
+            ev_neg=enc(neg_pad if M > 1 else neg_pad[:, 0], self.N - 1),
+            ev_src_slot=enc(pad1(ev_src_slot), R - 1),
+            ev_pos_slot=enc(pad1(ev_pos_slot), R - 1),
+            ev_neg_slot=enc(neg_slot_pad if M > 1 else neg_slot_pad[:, 0],
+                            R - 1),
+            uniq_nid=enc(uniq_nid, self.N),
+            root_loc=enc(root_loc, Ub - 1),
+            root_cr=enc(root_cr, Ur - 1),
+            cr_loc=enc(cr_loc, Ub - 1),
+            cr_feat=cr_feat.astype(np.int32),
+            cache_dt=cache_dt,
+            self_dt=self_dt,
+            ne_pos=enc(ne_pos, B - 1),
+            intra_lo=enc(intra_lo, 2 * B - 1),
+            intra_cnt=intra_cnt.astype(np.uint8),
+            intra_start=enc(intra_start, Ei - 1),
+            ia_dt=ia_dt,
+            mw_slot=mw_slot,
+        )
+
+        if insert:
+            self.insert(src, dst, t, e_id=ev_idx)
+        return wire, P
+
     @property
     def shapes_key(self):
         return (self.cfg.batch_size, self.cfg.num_neighbors)

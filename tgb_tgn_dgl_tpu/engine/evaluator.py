@@ -86,34 +86,34 @@ def jnp_mrr(y_pred_pos, y_pred_neg, valid):
 
 
 def jnp_ap_auc(pos_logits, neg_logits, valid):
-    """Per-batch AP and rank-AUC on device (sklearn-equivalent for
-    continuous scores; midrank tie handling omitted — ties have measure
-    zero for real-valued logits).  pos/neg (B,), valid (B,) ->
-    (ap, auc) scalars."""
+    """Per-batch AP and rank-AUC on device via PAIRWISE counting
+    (sklearn-equivalent for distinct real-valued scores; AUC uses 0.5
+    tie credit — ties have measure zero for real logits).  pos/neg (B,),
+    valid (B,) -> (ap, auc) scalars.
+
+    Pairwise (B, B) broadcast-compares fuse into ~3 kernels; the
+    sort-based formulation costs a sort + gathers + 3 cumsums, and every
+    kernel carries a fixed dispatch overhead on remote/tunneled TPU
+    runtimes (BASELINE.md) — the metric was a measurable slice of the
+    train step."""
     import jax.numpy as jnp
 
-    score = jnp.concatenate([pos_logits, neg_logits])
-    y = jnp.concatenate([jnp.ones_like(pos_logits),
-                         jnp.zeros_like(neg_logits)])
-    v = jnp.concatenate([valid, valid]).astype(score.dtype)
-    neg_inf = jnp.finfo(score.dtype).min
-    masked = jnp.where(v > 0, score, neg_inf)
-    order = jnp.argsort(-masked)
-    y_s = y[order] * v[order]
-    v_s = v[order]
-    tp = jnp.cumsum(y_s)
-    fp = jnp.cumsum(v_s - y_s)
+    vf = valid.astype(jnp.float32)
+    sp = pos_logits.astype(jnp.float32)
+    sn = neg_logits.astype(jnp.float32)
+    n_pos = vf.sum()
+    vj = vf[None, :]
+    # per valid positive i: tp = #valid pos_j with s_j >= s_i (incl. i),
+    # fp = #valid neg_j with s_j > s_i — precision at i's threshold
+    tp = ((sp[None, :] >= sp[:, None]) * vj).sum(axis=1)
+    fp = ((sn[None, :] > sp[:, None]) * vj).sum(axis=1)
     precision = tp / jnp.maximum(tp + fp, 1.0)
-    n_pos = y_s.sum()
-    n_neg = v_s.sum() - n_pos
-    ap = (precision * y_s).sum() / jnp.maximum(n_pos, 1.0)
-    # rank-based AUC (Mann-Whitney U); ranks over valid entries only
-    ranks = jnp.cumsum(v_s)          # rank within valid, ascending score
-    # order is descending score → convert to ascending ranks
-    asc_rank = v_s.sum() + 1.0 - ranks
-    sum_pos = (asc_rank * y_s).sum()
-    auc = (sum_pos - n_pos * (n_pos + 1) / 2) / jnp.maximum(
-        n_pos * n_neg, 1.0)
+    ap = (precision * vf).sum() / jnp.maximum(n_pos, 1.0)
+    # Mann-Whitney AUC: wins + half-ties over valid (pos, neg) pairs
+    wins = ((sn[None, :] < sp[:, None]) * vj).sum(axis=1)
+    ties = ((sn[None, :] == sp[:, None]) * vj).sum(axis=1)
+    auc = ((wins + 0.5 * ties) * vf).sum() / jnp.maximum(n_pos * n_pos,
+                                                         1.0)
     return ap, auc
 
 

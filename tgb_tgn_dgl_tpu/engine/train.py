@@ -38,7 +38,8 @@ from ..models.variants import (EagerMemoryConfig, dyrep_messages,
                                eager_apply_mail, eager_commit,
                                init_eager_memory_params,
                                init_eager_memory_state)
-from ..ops.wire import compact_wire, expand_wire, pack_to_wire
+from ..ops.wire import (compact_wire, expand_any, expand_wire,
+                        pack_to_wire)
 from ..utils.config import FrameworkConfig
 from .checkpoint import (EarlyStopMonitor, load_pytree, rng_state_from_array,
                          rng_state_to_array, save_pytree)
@@ -184,6 +185,13 @@ class Engine:
         # Narrow-dtype wire (ops/wire.CompactWire): ~1.5× fewer H2D bytes,
         # bit-exact.  The lean packer has its own (already minimal) wire.
         self._wire_compact = bool(tr.wire_compact) and not self.device_cache
+        # Deduplicated device-derived wire (ops/wire.DedupWire): ~3.5×
+        # fewer H2D bytes, bit-exact; per-batch fallback to the compact
+        # wire when not representable.
+        self._wire_dedup = (bool(tr.wire_dedup) and not self.device_cache
+                            and config.sampling.strategy == "recent"
+                            and config.gnn.layer == 1)
+        self._rslot = config.gnn.layer > 1
         # Arch selection (gnn.arch knob): 'transformer_attention' (TGNN),
         # 'identity' (JODIE), 'dyrep' (models/factory.py).  JODIE/DyRep
         # are memory-based by definition; the flagship uses the real
@@ -242,6 +250,12 @@ class Engine:
         self.memory = jnp.ones((data.num_nodes, config.gnn.dim_out),
                                jnp.float32)
         self.feats = jnp.asarray(data.msg)       # device-resident msg table
+        # Device-resident global event-time table: static per dataset, the
+        # DedupWire derives cache timestamps as t = times[e_id] instead of
+        # shipping them (the packer's cache_t holds exactly these float32
+        # values — StreamPacker.insert stores the batch's f32 t column).
+        self.times = jnp.asarray(np.asarray(data.t, np.float32))
+        self._tables = (self.feats, self.times)
         self.evaluator = Evaluator(data.name)
         self.neg_sampler = NegLinkSamplerDest(data.unique_dst(), seed=tr.seed)
         self._rng = jax.random.PRNGKey(tr.seed + 1)
@@ -287,12 +301,16 @@ class Engine:
             return acc + jnp.stack([loss.astype(jnp.float32) * n, ap, auc,
                                     jnp.float32(1.0)])
 
+        rslot = self._rslot
+
         if self.use_memory and self.eager_memory:       # DyRep
             mem_cfg = self.mem_cfg
 
-            def step(params, opt_state, mem_state, feats, wire, rng, acc,
+            def step(params, opt_state, mem_state, tables, wire, rng, acc,
                      intra_width):
-                pack = expand_wire(wire, K, intra_width, N)
+                feats, times = tables
+                pack = expand_any(wire, K, intra_width, N, times,
+                                  eval_mode=False, with_rslot=rslot)
 
                 def loss_fn(p):
                     mem_rows, lu_rows = eager_apply_mail(
@@ -330,9 +348,11 @@ class Engine:
         if self.use_memory:                              # TGN / JODIE
             mem_cfg = self.mem_cfg
 
-            def step(params, opt_state, mem_state, feats, wire, rng, acc,
+            def step(params, opt_state, mem_state, tables, wire, rng, acc,
                      intra_width):
-                pack = expand_wire(wire, K, intra_width, N)
+                feats, times = tables
+                pack = expand_any(wire, K, intra_width, N, times,
+                                  eval_mode=False, with_rslot=rslot)
 
                 def loss_fn(p):
                     mem_rows, lu_rows = apply_mail(
@@ -363,9 +383,11 @@ class Engine:
                                static_argnums=(7,))
             return step
 
-        def step(params, opt_state, memory, feats, wire, rng, acc,
+        def step(params, opt_state, memory, tables, wire, rng, acc,
                  intra_width):
-            pack = expand_wire(wire, K, intra_width, N)
+            feats, times = tables
+            pack = expand_any(wire, K, intra_width, N, times,
+                              eval_mode=False, with_rslot=rslot)
 
             def loss_fn(p):
                 pos, neg = tgnn_forward(p, model_cfg, memory, feats, pack,
@@ -396,13 +418,13 @@ class Engine:
         body = self._train_step_raw
 
         if self.use_memory:
-            def fused(params, opt_state, mem_state, feats, wires, rng, acc,
+            def fused(params, opt_state, mem_state, tables, wires, rng, acc,
                       intra_width):
                 def scan_body(carry, wire):
                     params, opt_state, mem_state, acc, rng = carry
                     rng, sk = jax.random.split(rng)
                     params, opt_state, mem_state, loss, _p, _n, acc = body(
-                        params, opt_state, mem_state, feats, wire, sk, acc,
+                        params, opt_state, mem_state, tables, wire, sk, acc,
                         intra_width)
                     return (params, opt_state, mem_state, acc, rng), loss
 
@@ -418,13 +440,13 @@ class Engine:
                                static_argnums=(7,))
             return fused
 
-        def fused(params, opt_state, memory, feats, wires, rng, acc,
+        def fused(params, opt_state, memory, tables, wires, rng, acc,
                   intra_width):
             def scan_body(carry, wire):
                 params, opt_state, acc, rng = carry
                 rng, sk = jax.random.split(rng)
                 params, opt_state, loss, _p, _n, acc = body(
-                    params, opt_state, memory, feats, wire, sk, acc,
+                    params, opt_state, memory, tables, wire, sk, acc,
                     intra_width)
                 return (params, opt_state, acc, rng), loss
 
@@ -698,11 +720,15 @@ class Engine:
         # accumulate on device, one fetch per eval pass.
         self._setup_eval_scoring()
 
+        rslot = self._rslot
+
         if self.use_memory and self.eager_memory:       # DyRep
             mem_cfg = self.mem_cfg
 
-            def fwd(params, mem_state, feats, wire, intra_width):
-                pack = expand_wire(wire, K, intra_width, N)
+            def fwd(params, mem_state, tables, wire, intra_width):
+                feats, times = tables
+                pack = expand_any(wire, K, intra_width, N, times,
+                                  eval_mode=True, with_rslot=rslot)
                 mem_rows, lu_rows = eager_apply_mail(
                     params["memory"], mem_cfg, mem_state, pack.uniq_nid)
                 embed = arch_embed(params, arch, model_cfg, mem_rows,
@@ -727,8 +753,10 @@ class Engine:
         if self.use_memory:                              # TGN / JODIE
             mem_cfg = self.mem_cfg
 
-            def fwd(params, mem_state, feats, wire, intra_width):
-                pack = expand_wire(wire, K, intra_width, N)
+            def fwd(params, mem_state, tables, wire, intra_width):
+                feats, times = tables
+                pack = expand_any(wire, K, intra_width, N, times,
+                                  eval_mode=True, with_rslot=rslot)
                 mem_rows, lu_rows = apply_mail(
                     params["memory"], mem_cfg, mem_state, pack.uniq_nid,
                     feats)
@@ -746,8 +774,10 @@ class Engine:
                 return jax.jit(fwd, donate_argnums=(1,), static_argnums=(4,))
             return fwd
 
-        def fwd(params, memory, feats, wire, intra_width):
-            pack = expand_wire(wire, K, intra_width, N)
+        def fwd(params, memory, tables, wire, intra_width):
+            feats, times = tables
+            pack = expand_any(wire, K, intra_width, N, times,
+                              eval_mode=True, with_rslot=rslot)
             embed = tgnn_embed(params, model_cfg, memory, feats, pack,
                                train=False)
             return embed
@@ -768,11 +798,11 @@ class Engine:
         score = self._eval_score_raw
 
         if self.use_memory:
-            def fused(params, mem_state, feats, wires, opt, pes,
+            def fused(params, mem_state, tables, wires, opt, pes,
                       intra_width):
                 def body(carry, wire):
                     mem_state, opt, pes = carry
-                    embed, mem_state = fwd(params, mem_state, feats, wire,
+                    embed, mem_state = fwd(params, mem_state, tables, wire,
                                            intra_width)
                     _pos, opt, pes = score(params, embed, wire, opt, pes)
                     return (mem_state, opt, pes), None
@@ -787,10 +817,10 @@ class Engine:
                                static_argnums=(6,))
             return fused
 
-        def fused(params, memory, feats, wires, opt, pes, intra_width):
+        def fused(params, memory, tables, wires, opt, pes, intra_width):
             def body(carry, wire):
                 opt, pes = carry
-                embed = fwd(params, memory, feats, wire, intra_width)
+                embed = fwd(params, memory, tables, wire, intra_width)
                 _pos, opt, pes = score(params, embed, wire, opt, pes)
                 return (opt, pes), None
 
@@ -838,9 +868,27 @@ class Engine:
             else:
                 neg, _mask = eval_negs.query_batch(lo, hi)
                 em = True
+            out = self._pack_dedup(src, dst, t, rows, blk, neg, em)
+            if out is not None:
+                yield lo, hi, out[0], out[1]
+                continue
             wire, iw = self.packer.pack_wire(src, dst, t, rows, blk, neg,
                                              eval_mode=em)
             yield lo, hi, self._maybe_compact(wire, iw), iw
+
+    def _pack_dedup(self, src, dst, t, rows, blk, neg, eval_mode,
+                    insert=True, write_mail=True):
+        """Try the deduplicated wire (ops/wire.DedupWire); returns
+        (wire, intra_width) or None — the caller then packs the compact
+        wire.  The packer only advances state when it succeeds, so
+        per-batch fallback is safe."""
+        if not self._wire_dedup or not hasattr(self.packer,
+                                               "pack_wire_dedup"):
+            return None
+        return self.packer.pack_wire_dedup(src, dst, t, rows, blk, neg,
+                                           eval_mode=eval_mode,
+                                           insert=insert,
+                                           write_mail=write_mail)
 
     def _maybe_compact(self, wire, iw):
         """Narrow the wire dtypes when enabled and possible (ops/wire.py);
@@ -908,11 +956,11 @@ class Engine:
                 (self.params, self.opt_state, self.mem_state, loss, _pos,
                  _neg, acc) = self._train_step(
                     self.params, self.opt_state, self.mem_state,
-                    self.feats, wire, sk, acc, iw)
+                    self._tables, wire, sk, acc, iw)
             else:
                 (self.params, self.opt_state, loss, _pos, _neg,
                  acc) = self._train_step(self.params, self.opt_state,
-                                         self.memory, self.feats, wire,
+                                         self.memory, self._tables, wire,
                                          sk, acc, iw)
             throttle(loss)
             return acc
@@ -938,11 +986,11 @@ class Engine:
                 (self.params, self.opt_state, self.mem_state, acc,
                  handle) = self._fused_train_step(
                     self.params, self.opt_state, self.mem_state,
-                    self.feats, stacked, sk, acc, iw)
+                    self._tables, stacked, sk, acc, iw)
             else:
                 (self.params, self.opt_state, acc,
                  handle) = self._fused_train_step(
-                    self.params, self.opt_state, self.memory, self.feats,
+                    self.params, self.opt_state, self.memory, self._tables,
                     stacked, sk, acc, iw)
             throttle(handle)
             return acc
@@ -1032,10 +1080,10 @@ class Engine:
                     wire, iw, advance)
             elif self.use_memory:
                 embed, self.mem_state = self._eval_fwd(
-                    self.params, self.mem_state, self.feats, wire, iw)
+                    self.params, self.mem_state, self._tables, wire, iw)
             else:
                 embed = self._eval_fwd(self.params, self.memory,
-                                       self.feats, wire, iw)
+                                       self._tables, wire, iw)
             pos, opt, pes = self._eval_score(self.params, embed, wire,
                                              opt, pes)
             throttle(pos)
@@ -1062,11 +1110,11 @@ class Engine:
                     stacked, opt, pes, iw)
             elif self.use_memory:
                 self.mem_state, opt, pes, handle = self._fused_eval_step(
-                    self.params, self.mem_state, self.feats, stacked,
+                    self.params, self.mem_state, self._tables, stacked,
                     opt, pes, iw)
             else:
                 opt, pes, handle = self._fused_eval_step(
-                    self.params, self.memory, self.feats, stacked,
+                    self.params, self.memory, self._tables, stacked,
                     opt, pes, iw)
             throttle(handle)
             return opt, pes
@@ -1090,10 +1138,15 @@ class Engine:
                 # stream state (cache insert, mail writes, ring pointers)
                 # advances only on the last chunk; memory commits of
                 # PENDING mail are idempotent across chunks
-                wire, iw = self.packer.pack_wire(
-                    src, dst, t, rows, blk, neg_c, eval_mode=True,
-                    insert=last, write_mail=last)
-                wire = self._maybe_compact(wire, iw)
+                out = self._pack_dedup(src, dst, t, rows, blk, neg_c,
+                                       True, insert=last, write_mail=last)
+                if out is not None:
+                    wire, iw = out
+                else:
+                    wire, iw = self.packer.pack_wire(
+                        src, dst, t, rows, blk, neg_c, eval_mode=True,
+                        insert=last, write_mail=last)
+                    wire = self._maybe_compact(wire, iw)
                 if not last and G > 1:
                     key = _wire_key(iw, wire)
                     if pend and key != pend_key:

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -299,6 +300,199 @@ def uncompact_wire(cw: CompactWire, num_nodes: int) -> WirePack:
         cache_rslot=rslot(cw.cache_rslot),
         ia_rslot=rslot(cw.ia_rslot),
     )
+
+
+class DedupWire(NamedTuple):
+    """Deduplicated narrow wire (train.wire_dedup) — ~1.6× fewer H2D
+    bytes than a CompactWire, expanded by PURE GATHERS (no scatter — the
+    CompactWire's intra-COO expansion costs 4 scatter kernels, and on
+    remote/tunneled backends every kernel carries a fixed dispatch
+    overhead).
+
+    Two structural observations make the shrink exact:
+
+      * The recency cache is PRE-BATCH state (inserts land after packing,
+        reference epoch_utils.py:300 vs :220), so every root slot of the
+        same node carries an identical cache row — rows ship once per
+        unique root node (``cr_loc``/``cr_feat``, (Ur, K)) plus a
+        slot→row map (``root_cr``).
+      * The intra-batch in-edges of a root slot are a CONTIGUOUS window
+        of its node's event positions (data/packer.py pass-1 runs), so
+        the COO collapses to per-slot (lo, cnt) ranges into one
+        node-major position list (``ne_pos``); partner identity and
+        feature rows are re-derived on device from the event arrays,
+        and the Δt values ship as one prefix-layout list (``ia_dt``,
+        indexed by ``intra_start``).
+
+    Δt values ship precomputed (cache_dt/self_dt/ia_dt): deriving them
+    on device from a per-(node, block) clock replay is exact but needs
+    either scatters + a cummax or a sort + unrolled binary search —
+    measured 63K e/s (scatter) and 35K e/s (search) vs 100K+ shipping
+    dt, because each extra kernel costs ~0.8 ms fixed on the tunneled
+    backend (BASELINE.md).  ``expand_dedup`` reconstructs the full
+    DevicePack bit-exactly (tests/test_wire.py::test_dedup_wire_exact).
+    Multi-layer (gnn.layer > 1) runs need per-slot rslot indices, which
+    do not dedup — they use the CompactWire path instead.
+    """
+
+    ev_src: jnp.ndarray        # (B,) u16|i32
+    ev_dst: jnp.ndarray        # (B,) u16|i32
+    ev_t: jnp.ndarray          # (B,) f32
+    ev_idx: jnp.ndarray        # (B,) i32 global msg-table rows
+    ev_valid: jnp.ndarray      # (B,) bool
+    ev_neg: jnp.ndarray        # (B,)|(B,M) u16|i32
+    ev_src_slot: jnp.ndarray   # (B,) u16|i32
+    ev_pos_slot: jnp.ndarray   # (B,) u16|i32
+    ev_neg_slot: jnp.ndarray   # (B,)|(B,M) u16|i32
+    uniq_nid: jnp.ndarray      # (Ub,) u16|i32 (pad = num_nodes)
+    root_loc: jnp.ndarray      # (R,) u16|i32 (pad = Ub-1)
+    root_cr: jnp.ndarray       # (R,) u16|i32 row in the cr tables
+    cr_loc: jnp.ndarray        # (Ur, K) u16|i32 per unique root node
+    cr_feat: jnp.ndarray       # (Ur, K) i32 global e_id; -1 = empty
+    cache_dt: jnp.ndarray      # (R, K) f32
+    self_dt: jnp.ndarray       # (R,) f32
+    ne_pos: jnp.ndarray        # (2B,) u16|i32 node-major event positions
+    intra_lo: jnp.ndarray      # (R,) u16|i32 window start into ne_pos
+    intra_cnt: jnp.ndarray     # (R,) u8 window length (≤ P)
+    intra_start: jnp.ndarray   # (R,) u16|i32 window start into ia_dt
+    ia_dt: jnp.ndarray         # (Ei,) f32 prefix-layout intra Δt values
+    mw_slot: jnp.ndarray       # (2B,) u8 (255 = no write) | i32 (-1)
+
+
+def _mw_from_slots(mw_slot, ev_src, ev_dst, ev_t, ev_idx, num_nodes):
+    """Identity-indexed mailbox plan reconstruction (see CompactWire):
+    position i = (event i>>1, direction i&1)."""
+    W = mw_slot.shape[0]
+    pw = jnp.arange(W, dtype=jnp.int32)
+    loc, side = pw >> 1, pw & 1
+    if mw_slot.dtype == jnp.uint8:
+        mvalid = mw_slot != 255
+        slot = jnp.where(mvalid, mw_slot.astype(jnp.int32), 0)
+    else:
+        mvalid = mw_slot >= 0
+        slot = jnp.where(mvalid, mw_slot, 0)
+    node_raw = jnp.where(side == 0, ev_src[loc], ev_dst[loc])
+    part_raw = jnp.where(side == 0, ev_dst[loc], ev_src[loc])
+    return (jnp.where(mvalid, node_raw, num_nodes), slot,
+            jnp.where(mvalid, part_raw, 0),
+            jnp.where(mvalid, ev_t[loc], 0.0),
+            jnp.where(mvalid, ev_idx[loc], 0))
+
+
+def expand_dedup(wire: DedupWire, num_neighbors: int, intra_width: int,
+                 num_nodes: int) -> DevicePack:
+    """Device-side reconstruction of the full DevicePack from a
+    DedupWire (pure jnp, runs inside the jitted step; gathers only, so
+    XLA fuses the whole expansion into the consuming model pass).
+    Bit-equivalent to Pack.device() — tests/test_wire.py."""
+    K = num_neighbors
+    P = intra_width
+
+    def i32(a):
+        return a.astype(jnp.int32)
+
+    R = wire.root_loc.shape[0]
+    Ub = wire.uniq_nid.shape[0]
+    pad_loc = Ub - 1
+    ev_src, ev_dst = i32(wire.ev_src), i32(wire.ev_dst)
+    ev_idx = i32(wire.ev_idx)
+    ev_t = wire.ev_t
+    root_loc = i32(wire.root_loc)
+    root_cr = i32(wire.root_cr)
+    root_valid = root_loc != pad_loc
+    uniq_nid = i32(wire.uniq_nid)
+    src_slot, pos_slot = i32(wire.ev_src_slot), i32(wire.ev_pos_slot)
+    src_loc = root_loc[src_slot]
+    dst_loc = root_loc[pos_slot]
+
+    # ---- cache part (dedup per unique root node) -----------------------
+    cache_loc = i32(wire.cr_loc)[root_cr]                # (R, K)
+    cache_feat_raw = wire.cr_feat[root_cr]               # (R, K) i32
+    cache_valid = cache_feat_raw >= 0
+    cache_feat = jnp.maximum(cache_feat_raw, 0)
+    cache_dt = jnp.where(cache_valid, wire.cache_dt, 0.0)
+    cache_kind = jnp.where(cache_valid, jnp.int8(KIND_CACHE),
+                           jnp.int8(KIND_INVALID))
+    cache_loc = jnp.where(cache_valid, cache_loc, pad_loc)
+
+    # ---- self column ----------------------------------------------------
+    self_dt = jnp.where(root_valid, wire.self_dt, 0.0)
+    self_kind = jnp.where(root_valid, jnp.int8(KIND_SELF),
+                          jnp.int8(KIND_INVALID))
+
+    # ---- intra part (per-slot ranges into ne_pos; Δt prefix list) -------
+    if P > 0:
+        ne_pos = i32(wire.ne_pos)
+        lo = i32(wire.intra_lo)
+        cnt = i32(wire.intra_cnt)
+        start = i32(wire.intra_start)
+        j = jnp.arange(P, dtype=jnp.int32)[None, :]
+        ia_valid = j < cnt[:, None]                                # (R, P)
+        idx = jnp.clip(lo[:, None] + j, 0, ne_pos.shape[0] - 1)
+        pos = jnp.where(ia_valid, ne_pos[idx], 0)                  # (R, P)
+        raw_root_nid = uniq_nid[root_loc]
+        # One packed (B, 4) table -> ONE (R, P, 4) gather instead of four
+        # separate (R, P) gathers (per-kernel dispatch overhead on
+        # remote/tunneled runtimes makes kernel count the cost model).
+        evp = jnp.stack([ev_idx, src_loc, dst_loc, ev_dst], axis=1)
+        g = evp[pos]                                            # (R, P, 4)
+        partner_loc = jnp.where(raw_root_nid[:, None] == g[..., 3],
+                                g[..., 1], g[..., 2])
+        ia_feat = jnp.where(ia_valid, g[..., 0], 0)
+        didx = jnp.clip(start[:, None] + j, 0, wire.ia_dt.shape[0] - 1)
+        ia_dt = jnp.where(ia_valid, wire.ia_dt[didx], 0.0)
+        ia_loc = jnp.where(ia_valid, partner_loc, pad_loc)
+        ia_kind = jnp.where(ia_valid, jnp.int8(KIND_INTRA),
+                            jnp.int8(KIND_INVALID))
+        nbr_loc = jnp.concatenate(
+            [cache_loc, jnp.where(root_valid, root_loc, pad_loc)[:, None],
+             ia_loc], axis=1)
+        nbr_feat = jnp.concatenate(
+            [cache_feat, jnp.zeros((R, 1), jnp.int32), ia_feat], axis=1)
+        nbr_dt = jnp.concatenate(
+            [cache_dt, self_dt[:, None], ia_dt], axis=1)
+        nbr_kind = jnp.concatenate(
+            [cache_kind, self_kind[:, None], ia_kind], axis=1)
+    else:
+        nbr_loc = jnp.concatenate(
+            [cache_loc,
+             jnp.where(root_valid, root_loc, pad_loc)[:, None]], axis=1)
+        nbr_feat = jnp.concatenate(
+            [cache_feat, jnp.zeros((R, 1), jnp.int32)], axis=1)
+        nbr_dt = jnp.concatenate([cache_dt, self_dt[:, None]], axis=1)
+        nbr_kind = jnp.concatenate([cache_kind, self_kind[:, None]], axis=1)
+
+    nid_table = jnp.where(uniq_nid == num_nodes, 0, uniq_nid)
+    nbr_nid = jnp.where(nbr_kind != KIND_INVALID, nid_table[nbr_loc], 0)
+    root_nid = jnp.where(root_valid, nid_table[root_loc], 0)
+
+    mw_node, mw_slot, mw_partner, mw_t, mw_eid = _mw_from_slots(
+        wire.mw_slot, ev_src, ev_dst, ev_t, ev_idx, num_nodes)
+
+    return DevicePack(
+        ev_src=ev_src, ev_dst=ev_dst, ev_t=ev_t, ev_idx=ev_idx,
+        ev_valid=wire.ev_valid, ev_neg=i32(wire.ev_neg),
+        root_nid=root_nid, root_valid=root_valid,
+        nbr_nid=nbr_nid, nbr_dt=nbr_dt, nbr_kind=nbr_kind,
+        nbr_feat=nbr_feat,
+        ev_src_slot=src_slot, ev_pos_slot=pos_slot,
+        ev_neg_slot=i32(wire.ev_neg_slot),
+        uniq_nid=uniq_nid, root_loc=root_loc, nbr_loc=nbr_loc,
+        mw_node=mw_node, mw_slot=mw_slot, mw_partner=mw_partner,
+        mw_t=mw_t, mw_eid=mw_eid,
+        nbr_rslot=None,
+    )
+
+
+def expand_any(wire, num_neighbors: int, statics, num_nodes: int,
+               ev_times=None, eval_mode: bool = False,
+               with_rslot: bool = False) -> DevicePack:
+    """Expand whichever wire format arrived.  ``statics`` is the wire's
+    static intra_width (int)."""
+    iw = statics[0] if isinstance(statics, tuple) else statics
+    if isinstance(wire, DedupWire):
+        return expand_dedup(wire, num_neighbors, iw, num_nodes)
+    return expand_wire(wire, num_neighbors, iw, num_nodes)
 
 
 def expand_wire(wire, num_neighbors: int, intra_width: int,

@@ -144,6 +144,16 @@ class TrainConfig:
     # is the measured epoch wall on tunneled hosts (BASELINE.md), so this
     # is nearly free throughput; turn off only to A/B.
     wire_compact: bool = True
+    # Deduplicated wire (ops/wire.DedupWire): cache rows ship once per
+    # unique root NODE and the intra-edge COO collapses to per-slot
+    # ranges + a prefix-layout Δt list — ~1.6× fewer H2D bytes than the
+    # compact wire, and the device expansion is PURE GATHERS (the
+    # compact wire's COO expansion costs 4 scatter kernels).  Bit-exact
+    # (tests/test_wire.py).  Falls back to the compact wire per batch
+    # when not representable (intra window > 255) and entirely for
+    # 'uniform' sampling, gnn.layer > 1 (rslot indices don't dedup) or
+    # device-cache mode.  Takes precedence over wire_compact.
+    wire_dedup: bool = True
 
 
 @dataclass
