@@ -258,7 +258,10 @@ class Engine:
         self._tables = (self.feats, self.times)
         self.evaluator = Evaluator(data.name)
         self.neg_sampler = NegLinkSamplerDest(data.unique_dst(), seed=tr.seed)
-        self._rng = jax.random.PRNGKey(tr.seed + 1)
+        # Per-step training keys (dropout): typed key with the configured
+        # impl ('rbg' = TPU hardware RNG; see TrainConfig.rng_impl).
+        self._rng_impl = tr.rng_impl
+        self._rng = jax.random.key(tr.seed + 1, impl=tr.rng_impl)
         self._step = 0
         self._epoch = 0   # completed-epoch cursor (checkpoint/resume)
         self._rows: Dict[str, np.ndarray] = {
@@ -1284,7 +1287,8 @@ class Engine:
         st = {
             "params": self.params,
             "opt_state": self.opt_state,
-            "rng": self._rng,
+            # typed keys serialize as their raw data (impl is config)
+            "rng": jax.random.key_data(self._rng),
             "neg_rng": rng_state_to_array(self.neg_sampler.rng),
             "step": np.int64(self._step),
             "epoch": np.int64(self._epoch),
@@ -1314,7 +1318,8 @@ class Engine:
         st = load_pytree(path, self._full_state())
         self.params = jax.tree.map(jnp.asarray, st["params"])
         self.opt_state = jax.tree.map(jnp.asarray, st["opt_state"])
-        self._rng = jnp.asarray(st["rng"])
+        self._rng = jax.random.wrap_key_data(jnp.asarray(st["rng"]),
+                                             impl=self._rng_impl)
         self.neg_sampler.rng = rng_state_from_array(st["neg_rng"])
         self._step = int(st["step"])
         self._epoch = int(st["epoch"])

@@ -170,7 +170,13 @@ def tgnn_embed(
     # ---- Δt time encoding (TemporalEdgePreprocess) ----------------------
     te = jnp.cos(pack.nbr_dt[..., None] * params["time"]["w"]
                  + params["time"]["b"]).astype(cdt)   # (R, Kp, D)
-    e_in = jnp.concatenate([ef, te], axis=-1)  # (R, Kp, F+D)
+    # NOTE: the edge input is conceptually concat(ef, te) (R, Kp, F+D) —
+    # reference model_utils.py:440-449 — but the concat is never
+    # materialized: every consumer splits its edge projection into
+    # W[:F] @ ef + W[F:] @ te, which removes 3-4 (R, Kp, F+D) buffer
+    # materializations per step (the dominant HBM traffic).  Dropout on
+    # the edge input draws two masks (one per part) instead of one.
+    F = ef.shape[-1]
 
     # ---- node features (memory rows; table cast before gather) ---------
     mem_c = memory.astype(cdt)
@@ -180,16 +186,18 @@ def tgnn_embed(
     else:
         nf_src = mem_c[pack.nbr_nid]                # (R, Kp, D)
         nf_dst = mem_c[pack.root_nid]               # (R, D)
-    def gat_layer(gat, src_in, dst_in, e_d, k_attn):
+    def gat_layer(gat, src_in, dst_in, ef_d, te_d, k_attn):
         """One EdgeGATConv pass over the grid -> (R, D) head-mean +
-        identity residual (model_utils.py:565-612,688-697)."""
+        identity residual (model_utils.py:565-612,688-697).  The edge
+        input arrives split (ef_d, te_d); projections split to match."""
         if cfg.message_mode == "scalar":
             wl, bl = _fused_attn_proj(gat["fc_node"], gat["attn_l"])
             wr, br = _fused_attn_proj(gat["fc_node"], gat["attn_r"])
             we, be = _fused_attn_proj(gat["fc_edge"], gat["attn_e"])
             el = src_in @ wl.astype(cdt) + bl.astype(cdt)   # (R, Kp, H)
             er = dst_in @ wr.astype(cdt) + br.astype(cdt)   # (R, H)
-            ee = e_d @ we.astype(cdt) + be.astype(cdt)      # (R, Kp, H)
+            ee = (ef_d @ we[:F].astype(cdt)
+                  + te_d @ we[F:].astype(cdt) + be.astype(cdt))
             el_prime = el + ee
             if cfg.use_pallas and (det or cfg.attn_drop == 0.0):
                 from ..ops.pallas_attention import attention_core
@@ -210,8 +218,10 @@ def tgnn_embed(
         node_p = apply_linear(gat["fc_node"], src_in).reshape(
             *src_in.shape[:-1], H, D)                        # (R, Kp, H, D)
         root_p = apply_linear(gat["fc_node"], dst_in).reshape(-1, H, D)
-        edge_p = apply_linear(gat["fc_edge"], e_d).reshape(
-            *e_d.shape[:-1], H, D)
+        wfe = gat["fc_edge"]["w"]
+        edge_p = (ef_d @ wfe[:F] + te_d @ wfe[F:]
+                  + gat["fc_edge"]["b"]).reshape(
+            *ef_d.shape[:-1], H, D)
         el = jnp.sum(node_p * gat["attn_l"], -1)             # (R, Kp, H)
         er = jnp.sum(root_p * gat["attn_r"], -1)             # (R, H)
         ee = jnp.sum(edge_p * gat["attn_e"], -1)
@@ -248,8 +258,10 @@ def tgnn_embed(
         src_d = dropout(k_nf, src_in, cfg.feat_drop, det)
         dst_d = dropout(jax.random.fold_in(k_nf, 1), dst_in,
                         cfg.feat_drop, det)
-        e_d = dropout(k_ef, e_in, cfg.feat_drop, det)
-        embed = gat_layer(gat, src_d, dst_d, e_d, k_attn)
+        ef_d = dropout(k_ef, ef, cfg.feat_drop, det)
+        te_d = dropout(jax.random.fold_in(k_ef, 1), te,
+                       cfg.feat_drop, det)
+        embed = gat_layer(gat, src_d, dst_d, ef_d, te_d, k_attn)
     return embed.astype(jnp.float32)
 
 

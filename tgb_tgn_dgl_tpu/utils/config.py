@@ -154,6 +154,13 @@ class TrainConfig:
     # 'uniform' sampling, gnn.layer > 1 (rslot indices don't dedup) or
     # device-cache mode.  Takes precedence over wire_compact.
     wire_dedup: bool = True
+    # PRNG implementation for the per-step training keys (dropout masks).
+    # 'rbg' uses the TPU hardware RNG path — threefry generates masks
+    # with ~20 VPU ops per element over the (R, Kp, F+D) edge tensor and
+    # measurably slows the step (dropout ≈ 16% of device time at 0.2).
+    # Parameter INIT always uses threefry, so initial weights are
+    # reproducible across this knob; only dropout masks differ.
+    rng_impl: str = "rbg"
 
 
 @dataclass
