@@ -49,7 +49,10 @@ def main():
     # reference too, utils.py:55-57) outside the timed region.
     engine.blocks_for("train")
 
-    # Warmup epoch: compiles every shape bucket of the train cycle.
+    # Pre-ratchet sticky shape buckets (host-only replay), then one
+    # warmup epoch: compiles the (single, thanks to the warmer) shape
+    # bucket of the train cycle.
+    engine.warm_buckets()
     jax.block_until_ready(engine.train_epoch()["loss"])
     # Measure sustained throughput over two windows of 2 back-to-back
     # epochs (host packing + wire transfer + device step + Adam + epoch

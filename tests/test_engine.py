@@ -235,3 +235,20 @@ def test_wire_dedup_engine_exact(tiny_data):
         return l1, v, l2
 
     assert run(False) == run(True)
+
+
+def test_warm_buckets_single_compile_shape(tiny_data):
+    """After warm_buckets over the whole train split, every train batch
+    of epoch 1 packs to ONE shape/dtype signature (no mid-epoch sticky
+    ratchets -> no extra XLA compiles)."""
+    from tgb_tgn_dgl_tpu.engine.train import _wire_key
+
+    cfg = parse_config_dict(TINY)
+    eng = Engine(tiny_data, cfg)
+    eng.warm_buckets(n_batches=10**9)
+    keys = set()
+    for lo, hi, wire, iw in eng._prefetch("train"):
+        keys.add(_wire_key(iw, wire))
+    assert len(keys) == 1, f"{len(keys)} distinct shape signatures"
+    # warming must not have advanced the real stream state
+    assert eng.packer.cur_e_id == len(np.nonzero(tiny_data.train_mask)[0])

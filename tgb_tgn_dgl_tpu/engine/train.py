@@ -835,6 +835,52 @@ class Engine:
                            static_argnums=(6,))
         return fused
 
+    # -------------------------------------------------- bucket pre-warming
+    def warm_buckets(self, n_batches: int = 96) -> None:
+        """Pre-ratchet the packer's sticky shape buckets by replaying the
+        first ``n_batches`` train batches through a THROWAWAY packer
+        clone (host-only, ~5 ms/batch) and seeding the real packer's
+        sticky table with the observed maxima.  Without this, every
+        intermediate ratchet step of R/Ub/Ur/P/Ei during the first epoch
+        is a fresh jit signature (20-300 s XLA compile each on tunneled
+        backends); with it, a run converges to ONE compile per profile
+        in almost all cases (ADVICE.md r1).  No stream or RNG state is
+        touched: the clone gets a same-seed negative-sampler copy."""
+        if self.device_cache or not hasattr(self.packer, "_sticky"):
+            return
+        pk_cfg = PackerConfig(
+            num_neighbors=self.config.sampling.num_neighbors,
+            batch_size=self.config.train.batch_size,
+            max_intra_block=self.config.train.max_intra_block,
+            mailbox_size=self.config.memory.mailbox_size,
+            strategy=self.config.sampling.strategy,
+            seed=self.config.train.seed,
+            layers=self.config.gnn.layer,
+        )
+        probe = make_stream_packer(self.data.num_nodes, pk_cfg)
+        if self.config.sampling.strategy == "uniform":
+            return                       # tcsr probe not worth the copy
+        neg_probe = NegLinkSamplerDest(self.data.unique_dst(),
+                                       seed=self.config.train.seed)
+        d = self.data
+        done = 0
+        for lo, hi, rows, blk in self._iter_batches("train"):
+            if done >= n_batches:
+                break
+            src, dst, t = d.src[rows], d.dst[rows], d.t[rows]
+            neg = neg_probe.sample(dst)
+            if self._wire_dedup and hasattr(probe, "pack_wire_dedup"):
+                out = probe.pack_wire_dedup(src, dst, t, rows, blk, neg)
+                if out is None:
+                    probe.pack_wire(src, dst, t, rows, blk, neg)
+            else:
+                probe.pack_wire(src, dst, t, rows, blk, neg)
+            done += 1
+        # seed the real packer's sticky maxima (monotone merge)
+        for key, names in probe._sticky.items():
+            for name, val in names.items():
+                self.packer._sticky_bucket(key, name, val)
+
     # ------------------------------------------------------------- batching
     def blocks_for(self, split: str) -> np.ndarray:
         """Dependency blocks per split, computed once (reference precomputes
@@ -1189,6 +1235,9 @@ class Engine:
         structured jsonl metrics (utils/metrics.py, SURVEY.md §5.5)."""
         from ..utils.metrics import MetricsLogger
         metrics = MetricsLogger(log_dir)
+        if not getattr(self, "_warmed", False):
+            self.warm_buckets()          # one-time, host-only (~0.5 s)
+            self._warmed = True
         epochs = epochs or self.config.train.epoch
         history = {"loss": [], "val": [], "train_s": [], "val_s": []}
         start = time.time()
