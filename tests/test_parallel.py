@@ -90,3 +90,42 @@ def test_sharded_memory_train_step_8dev():
     mesh: compiles, executes, memory updates propagate, loss finite."""
     import __graft_entry__ as graft
     graft.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_engine_matches_single():
+    """Full EPOCH-level parity: ShardedEngine (dp x state mesh) trains
+    and evaluates to the same numbers as the single-device Engine
+    (dropout off, fuse off, SGD-free comparison via loss/MRR values)."""
+    from tgb_tgn_dgl_tpu.data.dataset import synthetic
+    from tgb_tgn_dgl_tpu.engine.train import Engine
+    from tgb_tgn_dgl_tpu.parallel.engine import ShardedEngine
+    from tgb_tgn_dgl_tpu.utils.config import parse_config_dict
+
+    data = synthetic("tiny-sharded", num_edges=1024, num_nodes=128,
+                     msg_dim=8, num_neg=6, seed=7)
+    raw = {
+        "sampling": [{"neighbor": [5]}],
+        "memory": [{"dim_out": 32, "dim_time": 32, "mailbox_size": 2}],
+        "gnn": [{"dim_out": 32, "att_head": 4, "dim_time": 32}],
+        "train": [{"batch_size": 128, "lr": 1e-3, "dropout": 0.0,
+                   "att_dropout": 0.0, "frozen_memory": False,
+                   "fuse_steps": 0, "wire_dedup": False,
+                   "wire_compact": False}],
+    }
+    single = Engine(data, parse_config_dict(raw))
+    l1 = single.train_epoch()["loss"]
+    v1 = single.evaluate("val")
+
+    sh = ShardedEngine(data, parse_config_dict(raw),
+                       mesh=mesh_lib.make_mesh(8, dp=4, state=2))
+    s = sh.train_epoch()
+    l2 = s["loss"]
+    v2 = sh.evaluate("val")
+    # same math, different reduction layouts -> tight but not bitwise
+    np.testing.assert_allclose(l1, l2, rtol=2e-4)
+    np.testing.assert_allclose(v1, v2, rtol=2e-4)
+
+    # a second epoch keeps training (protocol holds across epochs)
+    s2 = sh.train_epoch()
+    assert s2["loss"] < s["loss"]
