@@ -14,11 +14,11 @@ def _data():
                      msg_dim=6, num_neg=6)
 
 
-def _config(arch, update="rnn"):
+def _config(arch, update="rnn", **mem_extra):
     return parse_config_dict({
         "sampling": [{"neighbor": [5]}],
         "memory": [{"dim_out": 16, "dim_time": 16,
-                    "memory_update": update}],
+                    "memory_update": update, **mem_extra}],
         "gnn": [{"arch": arch, "dim_out": 16, "att_head": 2}],
         "train": [{"batch_size": 250, "lr": 1e-3,
                    "frozen_memory": False}],
@@ -53,6 +53,94 @@ def test_arch_losses_differ():
         losses[arch] = engine.train_epoch()["loss"]
     vals = list(losses.values())
     assert len({round(v, 3) for v in vals}) == 3, losses
+
+
+@pytest.mark.parametrize("src_emb,dst_emb", [(False, False), (True, False),
+                                             (False, True), (True, True)])
+def test_dyrep_msg_toggles(src_emb, dst_emb):
+    """use_src_emb_in_msg / use_dst_emb_in_msg (reference
+    modules/memory_module.py:266-267): each combination trains, and the
+    message composition genuinely depends on both toggles."""
+    data = _data()
+    engine = Engine(data, _config("dyrep",
+                                  use_src_emb_in_msg=src_emb,
+                                  use_dst_emb_in_msg=dst_emb))
+    assert engine.mem_cfg.use_src_emb == src_emb
+    assert engine.mem_cfg.use_dst_emb == dst_emb
+    s = engine.train_epoch()
+    assert np.isfinite(s["loss"])
+    assert np.abs(np.asarray(engine.mem_state.mem)).sum() > 0
+
+
+def test_dyrep_toggle_combos_distinct():
+    data = _data()
+    vals = set()
+    for src_emb, dst_emb in [(False, False), (True, False), (False, True),
+                             (True, True)]:
+        engine = Engine(data, _config("dyrep",
+                                      use_src_emb_in_msg=src_emb,
+                                      use_dst_emb_in_msg=dst_emb))
+        engine.train_epoch()
+        vals.add(round(float(engine.train_epoch()["loss"]), 4))
+    assert len(vals) == 4, f"toggle combos collapsed: {vals}"
+
+
+def test_dyrep_message_field_orientation():
+    """dyrep_messages field layout vs an identity-based derivation: for
+    write 2i (node=src) the self field belongs to src[i] and the partner
+    field to dst[i]; write 2i+1 swaps them; toggles switch each field
+    between the memory table and the batch embedding."""
+    import jax.numpy as jnp
+
+    from tgb_tgn_dgl_tpu.data.dependency import get_block
+    from tgb_tgn_dgl_tpu.data.packer import PackerConfig, StreamPacker
+    from tgb_tgn_dgl_tpu.models.variants import (EagerMemoryConfig,
+                                                 dyrep_messages)
+    from tgb_tgn_dgl_tpu.ops.time_encode import init_time_encode
+
+    rng = np.random.default_rng(0)
+    N, D, F, B = 30, 4, 3, 8
+    src = rng.integers(0, 15, B).astype(np.int32)
+    dst = (15 + rng.integers(0, 15, B)).astype(np.int32)
+    t = np.sort(rng.random(B)).astype(np.float32)
+    neg = (15 + rng.integers(0, 15, B)).astype(np.int32)
+    packer = StreamPacker(N, PackerConfig(num_neighbors=3, batch_size=B))
+    pack = packer.pack(src, dst, t, np.arange(B), get_block(src, dst), neg)
+    R = pack.root_nid.shape[0]
+    U = pack.uniq_nid.shape[0]
+    embed = jnp.asarray(rng.normal(size=(R, D)), jnp.float32)
+    mem_rows = jnp.asarray(rng.normal(size=(U, D)), jnp.float32)
+    lu_rows = jnp.asarray(rng.random(U), jnp.float32)
+    feats = jnp.asarray(rng.normal(size=(B, F)), jnp.float32)
+    tp = init_time_encode(D)
+
+    def node_field(i, node, use_emb):
+        slot = (pack.ev_src_slot[i] if node == src[i]
+                else pack.ev_pos_slot[i])
+        return (embed[slot] if use_emb
+                else mem_rows[pack.root_loc[slot]])
+
+    for use_src, use_dst in [(False, False), (True, False), (True, True)]:
+        cfg = EagerMemoryConfig(num_nodes=N, mail_dim=2 * D + F + D,
+                                memory_dim=D, use_src_emb=use_src,
+                                use_dst_emb=use_dst)
+        mail = np.asarray(dyrep_messages(cfg, embed, pack.device(), feats,
+                                         tp, mem_rows, lu_rows))
+        for i in range(B):
+            for w, self_n, part_n in ((2 * i, src[i], dst[i]),
+                                      (2 * i + 1, dst[i], src[i])):
+                if pack.mw_node[w] == N:        # skipped write
+                    continue
+                assert pack.mw_node[w] == self_n
+                want_self = np.asarray(node_field(i, self_n, use_src))
+                want_part = np.asarray(node_field(i, part_n, use_dst))
+                np.testing.assert_allclose(mail[w, :D], want_self,
+                                           rtol=1e-6)
+                np.testing.assert_allclose(mail[w, D:2 * D], want_part,
+                                           rtol=1e-6)
+                np.testing.assert_allclose(mail[w, 2 * D:2 * D + F],
+                                           np.asarray(feats[pack.mw_eid[w]]),
+                                           rtol=1e-6)
 
 
 def test_unknown_arch_rejected():

@@ -252,3 +252,22 @@ def test_warm_buckets_single_compile_shape(tiny_data):
     assert len(keys) == 1, f"{len(keys)} distinct shape signatures"
     # warming must not have advanced the real stream state
     assert eng.packer.cur_e_id == len(np.nonzero(tiny_data.train_mask)[0])
+
+
+def test_warm_buckets_pre_ratchets_eval_profiles(tiny_data):
+    """warm_buckets also replays validation batches in eval mode: the
+    eval-profile sticky buckets are seeded up front and a real
+    train-epoch + validation pass never ratchets them further (each
+    ratchet would be a fresh 20-300 s XLA compile on tunneled TPUs)."""
+    cfg = parse_config_dict(TINY)
+    eng = Engine(tiny_data, cfg)
+    eng.warm_buckets(n_batches=10**9, eval_batches=10**9)
+    before = {k: dict(v) for k, v in eng.packer._sticky.items()}
+    eval_keys = [k for k in before if k[1]]
+    assert eval_keys, "no eval profile was pre-warmed"
+    eng.train_epoch()
+    eng.evaluate("val")
+    for k in eval_keys:
+        assert eng.packer._sticky[k] == before[k], (
+            f"eval profile {k} ratcheted during the real pass: "
+            f"{before[k]} -> {eng.packer._sticky[k]}")

@@ -121,3 +121,25 @@ def test_device_metrics_match_numpy():
     want = mrr(pos[:180], negs[:180])
     np.testing.assert_allclose(np.asarray(rr)[:180], want, rtol=1e-6)
     assert (np.asarray(rr)[180:] == 0).all()
+
+
+def test_config_schema_only_knobs_raise():
+    """Truthful config: non-default values of schema-only knobs (TGL
+    sampler fields the reference never implemented either) fail loudly
+    instead of being silently ignored (utils/config.py docstring)."""
+    import pytest
+
+    from tgb_tgn_dgl_tpu.utils.config import parse_config_dict
+
+    parse_config_dict({}).validate()          # defaults pass
+    bad = [
+        {"sampling": [{"prop_time": True}]},
+        {"sampling": [{"history": 2}]},
+        {"sampling": [{"duration": 5.0}]},
+        {"memory": [{"deliver_to": "neighbors"}]},
+        {"memory": [{"combine_node_feature": False}]},
+        {"train": [{"reorder": 16}]},
+    ]
+    for conf in bad:
+        with pytest.raises(NotImplementedError):
+            parse_config_dict(conf).validate()

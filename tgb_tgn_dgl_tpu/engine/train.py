@@ -135,7 +135,7 @@ class Engine:
                  jit: bool = True):
         _enable_persistent_compile_cache()
         self.data = data
-        self.config = config
+        self.config = config.validate()
         tr = config.train
         self.model_cfg = TGNNConfig(
             edge_feat_dim=data.msg_dim,
@@ -214,12 +214,16 @@ class Engine:
                 "reads memory rows as node features)")
             if self.eager_memory:
                 D = config.memory.dim_out
+                # mail = cat(self, partner, raw, Δt-enc) — reference
+                # IdentityMessage width (modules/msg_func.py:15)
                 self.mem_cfg = EagerMemoryConfig(
                     num_nodes=data.num_nodes,
-                    mail_dim=D + data.msg_dim + D,
+                    mail_dim=2 * D + data.msg_dim + D,
                     memory_dim=D,
                     updater=config.memory.memory_update,
                     combine=config.memory.mail_combine,
+                    use_src_emb=config.memory.use_src_emb_in_msg,
+                    use_dst_emb=config.memory.use_dst_emb_in_msg,
                 )
                 self.params["memory"] = init_eager_memory_params(
                     k_mem, self.mem_cfg)
@@ -327,11 +331,8 @@ class Engine:
 
                 (loss, (pos, neg, mem_rows, lu_rows, embed)), grads = \
                     jax.value_and_grad(loss_fn, has_aux=True)(params)
-                lu_full = mem_state.last_update.at[pack.uniq_nid].set(
-                    lu_rows)
-                mw_mail = dyrep_messages(embed, pack, feats,
-                                         params["time"],
-                                         lu_full[pack.mw_node])
+                mw_mail = dyrep_messages(mem_cfg, embed, pack, feats,
+                                         params["time"], mem_rows, lu_rows)
                 mem_state = eager_commit(mem_cfg, mem_state, pack.uniq_nid,
                                          mem_rows, lu_rows, pack.mw_node,
                                          pack.mw_slot, mw_mail, pack.mw_t,
@@ -465,7 +466,13 @@ class Engine:
     def _setup_eval_scoring(self):
         """Shared eval phases: edge scoring into per-event rank counts +
         the per-batch MRR finalizer (TGB/OGB tie convention)."""
-        def score_counts(params, embed, wire, opt, pes):
+        def score_counts(params, embed, wire, opt, pes, neg_mask):
+            """neg_mask: None (all negatives real) or a (B, Mc) bool host
+            array marking which negative columns are real — the pad+mask
+            ragged-negative mode (train.eval_neg_mode='pad_mask',
+            SURVEY.md §7.5; the reference truncates instead,
+            epoch_utils.py:48-56).  Masked-out columns contribute to
+            neither rank count, so padded zero-id negatives never rank."""
             from ..models.tgnn import edge_predictor
             h_src = embed[wire.ev_src_slot]
             h_pos = embed[wire.ev_pos_slot]
@@ -473,8 +480,13 @@ class Engine:
             pos, neg = edge_predictor(params["pred"], h_src, h_pos, h_neg)
             neg2 = neg if neg.ndim == 2 else neg[:, None]
             p = pos[:, None]
-            return (pos, opt + (neg2 > p).sum(axis=1),
-                    pes + (neg2 >= p).sum(axis=1))
+            gt = neg2 > p
+            ge = neg2 >= p
+            if neg_mask is not None:
+                m2 = neg_mask if neg_mask.ndim == 2 else neg_mask[:, None]
+                gt = jnp.logical_and(gt, m2)
+                ge = jnp.logical_and(ge, m2)
+            return (pos, opt + gt.sum(axis=1), pes + ge.sum(axis=1))
 
         def finalize(acc, opt, pes, valid):
             # TGB/OGB tie convention: rank = ½(optimistic + pessimistic)+1
@@ -672,36 +684,38 @@ class Engine:
         score = self._eval_score_raw
 
         if self.use_memory:
-            def fused(params, mem_state, sstate, feats, wires, opt, pes,
-                      intra_width):
+            def fused(params, mem_state, sstate, feats, wires, masks, opt,
+                      pes, intra_width):
                 # unrolled, not scanned — see _build_lean_fused_train_step
                 G = wires.ev_src.shape[0]
                 for i in range(G):
                     wire = jax.tree.map(lambda a: a[i], wires)
+                    m = None if masks is None else masks[i]
                     embed, mem_state, _ = fwd(params, mem_state, sstate,
                                               feats, wire, intra_width,
                                               False)
-                    _pos, opt, pes = score(params, embed, wire, opt, pes)
+                    _pos, opt, pes = score(params, embed, wire, opt, pes, m)
                 return mem_state, opt, pes, opt.sum()
 
             if self._jit:
-                return jax.jit(fused, donate_argnums=(1, 5, 6),
-                               static_argnums=(7,))
+                return jax.jit(fused, donate_argnums=(1, 6, 7),
+                               static_argnums=(8,))
             return fused
 
-        def fused(params, memory, sstate, feats, wires, opt, pes,
+        def fused(params, memory, sstate, feats, wires, masks, opt, pes,
                   intra_width):
             G = wires.ev_src.shape[0]
             for i in range(G):
                 wire = jax.tree.map(lambda a: a[i], wires)
+                m = None if masks is None else masks[i]
                 embed, _ = fwd(params, memory, sstate, feats, wire,
                                intra_width, False)
-                _pos, opt, pes = score(params, embed, wire, opt, pes)
+                _pos, opt, pes = score(params, embed, wire, opt, pes, m)
             return opt, pes, opt.sum()
 
         if self._jit:
-            return jax.jit(fused, donate_argnums=(5, 6),
-                           static_argnums=(7,))
+            return jax.jit(fused, donate_argnums=(6, 7),
+                           static_argnums=(8,))
         return fused
 
     def _build_eval_forward(self):
@@ -737,11 +751,8 @@ class Engine:
                 embed = arch_embed(params, arch, model_cfg, mem_rows,
                                    lu_rows, feats, pack, train=False,
                                    local=True)
-                lu_full = mem_state.last_update.at[pack.uniq_nid].set(
-                    lu_rows)
-                mw_mail = dyrep_messages(embed, pack, feats,
-                                         params["time"],
-                                         lu_full[pack.mw_node])
+                mw_mail = dyrep_messages(mem_cfg, embed, pack, feats,
+                                         params["time"], mem_rows, lu_rows)
                 mem_state = eager_commit(mem_cfg, mem_state, pack.uniq_nid,
                                          mem_rows, lu_rows, pack.mw_node,
                                          pack.mw_slot, mw_mail, pack.mw_t,
@@ -801,42 +812,50 @@ class Engine:
         score = self._eval_score_raw
 
         if self.use_memory:
-            def fused(params, mem_state, tables, wires, opt, pes,
+            def fused(params, mem_state, tables, wires, masks, opt, pes,
                       intra_width):
-                def body(carry, wire):
+                xs = wires if masks is None else (wires, masks)
+
+                def body(carry, x):
+                    wire, m = (x, None) if masks is None else x
                     mem_state, opt, pes = carry
                     embed, mem_state = fwd(params, mem_state, tables, wire,
                                            intra_width)
-                    _pos, opt, pes = score(params, embed, wire, opt, pes)
+                    _pos, opt, pes = score(params, embed, wire, opt, pes, m)
                     return (mem_state, opt, pes), None
 
                 (mem_state, opt, pes), _ = jax.lax.scan(
-                    body, (mem_state, opt, pes), wires)
+                    body, (mem_state, opt, pes), xs)
                 # opt.sum() = fresh (undonated) completion handle
                 return mem_state, opt, pes, opt.sum()
 
             if self._jit:
-                return jax.jit(fused, donate_argnums=(1, 4, 5),
-                               static_argnums=(6,))
+                return jax.jit(fused, donate_argnums=(1, 5, 6),
+                               static_argnums=(7,))
             return fused
 
-        def fused(params, memory, tables, wires, opt, pes, intra_width):
-            def body(carry, wire):
+        def fused(params, memory, tables, wires, masks, opt, pes,
+                  intra_width):
+            xs = wires if masks is None else (wires, masks)
+
+            def body(carry, x):
+                wire, m = (x, None) if masks is None else x
                 opt, pes = carry
                 embed = fwd(params, memory, tables, wire, intra_width)
-                _pos, opt, pes = score(params, embed, wire, opt, pes)
+                _pos, opt, pes = score(params, embed, wire, opt, pes, m)
                 return (opt, pes), None
 
-            (opt, pes), _ = jax.lax.scan(body, (opt, pes), wires)
+            (opt, pes), _ = jax.lax.scan(body, (opt, pes), xs)
             return opt, pes, opt.sum()
 
         if self._jit:
-            return jax.jit(fused, donate_argnums=(4, 5),
-                           static_argnums=(6,))
+            return jax.jit(fused, donate_argnums=(5, 6),
+                           static_argnums=(7,))
         return fused
 
     # -------------------------------------------------- bucket pre-warming
-    def warm_buckets(self, n_batches: int = 96) -> None:
+    def warm_buckets(self, n_batches: int = 96,
+                     eval_batches: int = 8) -> None:
         """Pre-ratchet the packer's sticky shape buckets by replaying the
         first ``n_batches`` train batches through a THROWAWAY packer
         clone (host-only, ~5 ms/batch) and seeding the real packer's
@@ -845,7 +864,13 @@ class Engine:
         is a fresh jit signature (20-300 s XLA compile each on tunneled
         backends); with it, a run converges to ONE compile per profile
         in almost all cases (ADVICE.md r1).  No stream or RNG state is
-        touched: the clone gets a same-seed negative-sampler copy."""
+        touched: the clone gets a same-seed negative-sampler copy.
+
+        ``eval_batches`` additionally replays the first validation
+        batches in eval mode with the SAME negative chunking
+        ``evaluate`` will use, pre-ratcheting the (Mc, eval) profiles so
+        the first validation pass also compiles once per profile instead
+        of ratcheting through fresh signatures mid-eval."""
         if self.device_cache or not hasattr(self.packer, "_sticky"):
             return
         pk_cfg = PackerConfig(
@@ -876,6 +901,39 @@ class Engine:
             else:
                 probe.pack_wire(src, dst, t, rows, blk, neg)
             done += 1
+        # eval-profile pre-warm: replay the first val batches with the
+        # engine's chunk protocol (mirrors Engine.evaluate's Mc math)
+        if eval_batches and d.val_ns is not None:
+            fixed = FixedNegatives(d.val_ns,
+                                   mode=self.config.train.eval_neg_mode)
+            done = 0
+            for lo, hi, rows, blk in self._iter_batches("val"):
+                if done >= eval_batches:
+                    break
+                src, dst, t = d.src[rows], d.dst[rows], d.t[rows]
+                neg, _mask = fixed.query_batch(lo, hi)
+                neg2d = np.asarray(neg).reshape(len(rows), -1)
+                M = neg2d.shape[1]
+                Mc = (self.config.train.eval_neg_chunk
+                      or max(1, min(M, 49152 // max(hi - lo, 1) - 2)))
+                n_chunks = -(-M // Mc)
+                for ci in range(n_chunks):
+                    last = ci == n_chunks - 1
+                    neg_c = neg2d[:, ci * Mc:(ci + 1) * Mc]
+                    if self._wire_dedup and hasattr(probe,
+                                                    "pack_wire_dedup"):
+                        out = probe.pack_wire_dedup(
+                            src, dst, t, rows, blk, neg_c, eval_mode=True,
+                            insert=last, write_mail=last)
+                        if out is None:
+                            probe.pack_wire(src, dst, t, rows, blk, neg_c,
+                                            eval_mode=True, insert=last,
+                                            write_mail=last)
+                    else:
+                        probe.pack_wire(src, dst, t, rows, blk, neg_c,
+                                        eval_mode=True, insert=last,
+                                        write_mail=last)
+                done += 1
         # seed the real packer's sticky maxima (monotone merge)
         for key, names in probe._sticky.items():
             for name, val in names.items():
@@ -1088,9 +1146,15 @@ class Engine:
         # device work) but only blocks when a key is first read, so a
         # pipelined caller never pays the tunnel round-trip per epoch.
         stats = EpochStats(acc, total)
+        # host-phase breakdown of this epoch (SURVEY.md §5.1): packing vs
+        # dispatch vs backpressure waits; bench.py reports it per epoch
+        self.last_epoch_trace = {
+            "total_s": time.perf_counter() - t_epoch0,
+            "pack_s": tm["pack"], "disp_s": tm["disp"],
+            "wait_s": tm["wait"], "batches": nb,
+        }
         if _EPOCH_TRACE:
-            now = time.perf_counter()
-            print(f"[epoch-trace] total={now - t_epoch0:.3f}s "
+            print(f"[epoch-trace] total={self.last_epoch_trace['total_s']:.3f}s "
                   f"pack={tm['pack']:.3f}s disp={tm['disp']:.3f}s "
                   f"wait={tm['wait']:.3f}s batches={nb} "
                   f"(stats fetch deferred)", flush=True)
@@ -1118,7 +1182,7 @@ class Engine:
 
         lean = self.device_cache
 
-        def dispatch_chunk(wire, iw, opt, pes, advance=True):
+        def dispatch_chunk(wire, iw, opt, pes, advance=True, neg_mask=None):
             if lean and self.use_memory:
                 embed, self.mem_state, self.sstate = self._eval_fwd(
                     self.params, self.mem_state, self.sstate, self.feats,
@@ -1134,56 +1198,68 @@ class Engine:
                 embed = self._eval_fwd(self.params, self.memory,
                                        self._tables, wire, iw)
             pos, opt, pes = self._eval_score(self.params, embed, wire,
-                                             opt, pes)
+                                             opt, pes, neg_mask)
             throttle(pos)
             return opt, pes
 
-        def dispatch_chunks(pend, iw, opt, pes):
+        def dispatch_chunks(pend, pend_masks, iw, opt, pes):
             """Fused (≥2 chunks, one lax.scan dispatch) or single; never
             the stream-advancing LAST chunk."""
             if len(pend) == 1:
                 return dispatch_chunk(pend[0], iw, opt, pes,
-                                      advance=False)
+                                      advance=False,
+                                      neg_mask=pend_masks[0])
             wp_cls = type(pend[0])
             stacked = wp_cls(*(
                 (np.stack([getattr(w, f) for w in pend])
                  if getattr(pend[0], f) is not None else None)
                 for f in wp_cls._fields))
+            masks = (None if pend_masks[0] is None
+                     else np.stack(pend_masks))
             if lean and self.use_memory:
                 self.mem_state, opt, pes, handle = self._fused_eval_step(
                     self.params, self.mem_state, self.sstate, self.feats,
-                    stacked, opt, pes, iw)
+                    stacked, masks, opt, pes, iw)
             elif lean:
                 opt, pes, handle = self._fused_eval_step(
                     self.params, self.memory, self.sstate, self.feats,
-                    stacked, opt, pes, iw)
+                    stacked, masks, opt, pes, iw)
             elif self.use_memory:
                 self.mem_state, opt, pes, handle = self._fused_eval_step(
                     self.params, self.mem_state, self._tables, stacked,
-                    opt, pes, iw)
+                    masks, opt, pes, iw)
             else:
                 opt, pes, handle = self._fused_eval_step(
                     self.params, self.memory, self._tables, stacked,
-                    opt, pes, iw)
+                    masks, opt, pes, iw)
             throttle(handle)
             return opt, pes
 
         for lo, hi, rows, blk in self._iter_batches(split):
             src, dst, t = d.src[rows], d.dst[rows], d.t[rows]
-            neg, _mask = fixed.query_batch(lo, hi)
+            neg, mask = fixed.query_batch(lo, hi)
             neg = np.asarray(neg)
             neg2d = neg.reshape(len(rows), -1)
             M = neg2d.shape[1]
+            # pad+mask mode: (B, M) validity of each negative column
+            # (padded events' rows stay False; finalize masks them anyway)
+            mask2d = None
+            if mask is not None:
+                mask2d = np.zeros((B, M), bool)
+                mask2d[:len(rows)] = mask
             Mc = (self.config.train.eval_neg_chunk
                   or max(1, min(M, 49152 // max(hi - lo, 1) - 2)))
             n_chunks = -(-M // Mc)
             opt = jnp.zeros(B, jnp.int32)
             pes = jnp.zeros(B, jnp.int32)
             pend = []
+            pend_masks = []
             pend_key = pend_iw = None
             for ci in range(n_chunks):
                 last = ci == n_chunks - 1
                 neg_c = neg2d[:, ci * Mc:(ci + 1) * Mc]
+                mask_c = (None if mask2d is None
+                          else mask2d[:, ci * Mc:(ci + 1) * Mc])
                 # stream state (cache insert, mail writes, ring pointers)
                 # advances only on the last chunk; memory commits of
                 # PENDING mail are idempotent across chunks
@@ -1197,21 +1273,26 @@ class Engine:
                         insert=last, write_mail=last)
                     wire = self._maybe_compact(wire, iw)
                 if not last and G > 1:
-                    key = _wire_key(iw, wire)
+                    key = (_wire_key(iw, wire), mask_c is None)
                     if pend and key != pend_key:
-                        opt, pes = dispatch_chunks(pend, pend_iw, opt, pes)
-                        pend = []
+                        opt, pes = dispatch_chunks(pend, pend_masks,
+                                                   pend_iw, opt, pes)
+                        pend, pend_masks = [], []
                     pend_key, pend_iw = key, iw
                     pend.append(wire)
+                    pend_masks.append(mask_c)
                     if len(pend) == G:
-                        opt, pes = dispatch_chunks(pend, iw, opt, pes)
-                        pend = []
+                        opt, pes = dispatch_chunks(pend, pend_masks, iw,
+                                                   opt, pes)
+                        pend, pend_masks = [], []
                     continue
                 if pend:
-                    opt, pes = dispatch_chunks(pend, pend_iw, opt, pes)
-                    pend = []
+                    opt, pes = dispatch_chunks(pend, pend_masks, pend_iw,
+                                               opt, pes)
+                    pend, pend_masks = [], []
                 # the LAST chunk advances stream state -> per-chunk path
-                opt, pes = dispatch_chunk(wire, iw, opt, pes)
+                opt, pes = dispatch_chunk(wire, iw, opt, pes,
+                                          neg_mask=mask_c)
             valid = jnp.asarray(np.arange(B) < (hi - lo))
             acc = self._eval_finalize(acc, opt, pes, valid)
         try:

@@ -35,6 +35,12 @@ class EagerMemoryConfig(NamedTuple):
     memory_dim: int = 100
     updater: str = "rnn"          # DyRep/JODIE default (reference :259-264)
     combine: str = "last"
+    # Message-field composition (reference modules/memory_module.py:266-267,
+    # 387-408): the stored message is cat(self_field, partner_field, raw,
+    # Δt-enc); each field is the node's MEMORY by default and its batch
+    # EMBEDDING when toggled.  Reference defaults: both False.
+    use_src_emb: bool = False     # self field   ← use_src_emb_in_msg
+    use_dst_emb: bool = False     # partner field ← use_dst_emb_in_msg
 
 
 class EagerMemoryState(NamedTuple):
@@ -110,31 +116,45 @@ def eager_commit(cfg: EagerMemoryConfig, state: EagerMemoryState,
                             mail_eid=meid, mail_valid=valid)
 
 
-def dyrep_messages(embed: jnp.ndarray, pack,
+def dyrep_messages(cfg: EagerMemoryConfig, embed: jnp.ndarray, pack,
                    feats_table: jnp.ndarray, time_params: Dict,
-                   last_update_rows: jnp.ndarray) -> jnp.ndarray:
-    """Build DyRep mail for the write plan: for each write (node ← event),
-    mail = cat(embedding[partner], raw_msg, Δt-enc) where the partner
-    embedding is this batch's computed embedding (reference
-    modules/memory_module.py:387-408 uses src/dst embeddings in msg).
+                   mem_rows: jnp.ndarray,
+                   lu_rows: jnp.ndarray) -> jnp.ndarray:
+    """Build eager mail for the write plan: for each write (node ← event),
+    mail = cat(self_field, partner_field, raw_msg, Δt-enc) — the
+    reference's IdentityMessage layout (modules/msg_func.py:12-18) with
+    the DyRep toggles (modules/memory_module.py:266-267,387-408): each
+    field is the node's post-apply memory, or this batch's computed
+    embedding when cfg.use_src_emb (self) / cfg.use_dst_emb (partner).
+    Eager deviation (documented in the module docstring): the reference
+    recomputes messages lazily at the NEXT batch touching the node, using
+    whatever embeddings that batch happens to produce; here the message is
+    evaluated once at event time, where both endpoints are roots by
+    construction.
 
     pack must be the expanded DevicePack; embed the (R, D) root-slot
-    embeddings.  Partner root-slot lookup: each write's partner is an
-    event endpoint, so its embedding is at the event's src/pos slot.
-    Returns (W, mail_dim)."""
-    # write w = 2i (node=src, partner=dst → slot ev_pos_slot[i])
-    #       w = 2i+1 (node=dst, partner=src → slot ev_src_slot[i])
+    embeddings; mem_rows/lu_rows the (U, D)/(U,) post-apply local memory
+    table from eager_apply_mail (indexed via pack.root_loc — both write
+    endpoints are event endpoints, hence roots).  Δt = t − last_update of
+    the SELF node (reference :386-387).  Returns (W, mail_dim)."""
+    # write w = 2i   (node=src:  self slot ev_src_slot[i], partner ev_pos)
+    #       w = 2i+1 (node=dst:  self slot ev_pos_slot[i], partner ev_src)
     B = pack.ev_src.shape[0]
     ev = jnp.arange(2 * B) // 2
     is_src_write = (jnp.arange(2 * B) % 2) == 0
+    self_slot = jnp.where(is_src_write, pack.ev_src_slot[ev],
+                          pack.ev_pos_slot[ev])
     partner_slot = jnp.where(is_src_write, pack.ev_pos_slot[ev],
                              pack.ev_src_slot[ev])
-    z_partner = embed[partner_slot]                       # (W, D)
+    f_self = (embed[self_slot] if cfg.use_src_emb
+              else mem_rows[pack.root_loc[self_slot]])      # (W, D)
+    f_partner = (embed[partner_slot] if cfg.use_dst_emb
+                 else mem_rows[pack.root_loc[partner_slot]])
     raw = feats_table[jnp.clip(pack.mw_eid, 0,
-                               feats_table.shape[0] - 1)]  # (W, F)
-    dt = pack.mw_t - last_update_rows
+                               feats_table.shape[0] - 1)]   # (W, F)
+    dt = pack.mw_t - lu_rows[pack.root_loc[self_slot]]
     te = time_encode(time_params, dt)
-    return jnp.concatenate([z_partner, raw, te], axis=-1)
+    return jnp.concatenate([f_self, f_partner, raw, te], axis=-1)
 
 
 # ------------------------------------------------------------------ JODIE
