@@ -129,3 +129,37 @@ def test_sharded_engine_matches_single():
     # a second epoch keeps training (protocol holds across epochs)
     s2 = sh.train_epoch()
     assert s2["loss"] < s["loss"]
+
+
+def test_sharded_engine_fused_compact_exact():
+    """The sharded fused dispatch (lax.scan over stacked wires) and the
+    narrow-dtype CompactWire must reproduce the per-batch full-wire
+    numbers exactly, and eval must accumulate ranks on device (one D2H
+    per pass) to the same MRR."""
+    from tgb_tgn_dgl_tpu.data.dataset import synthetic
+    from tgb_tgn_dgl_tpu.parallel.engine import ShardedEngine
+    from tgb_tgn_dgl_tpu.utils.config import parse_config_dict
+
+    data = synthetic("tiny-sharded-f", num_edges=1024, num_nodes=128,
+                     msg_dim=8, num_neg=6, seed=11)
+    base = {
+        "sampling": [{"neighbor": [5]}],
+        "memory": [{"dim_out": 32, "dim_time": 32}],
+        "gnn": [{"dim_out": 32, "att_head": 4, "dim_time": 32}],
+        "train": [{"batch_size": 128, "lr": 1e-3, "dropout": 0.0,
+                   "att_dropout": 0.0, "frozen_memory": False,
+                   "fuse_steps": 0, "wire_compact": False}],
+    }
+    fused = {**base, "train": [{**base["train"][0], "fuse_steps": 3,
+                                "wire_compact": True}]}
+    mesh = mesh_lib.make_mesh(8, dp=4, state=2)
+    a = ShardedEngine(data, parse_config_dict(base), mesh=mesh)
+    b = ShardedEngine(data, parse_config_dict(fused), mesh=mesh)
+    a.warm_buckets()
+    b.warm_buckets()
+    sa = a.train_epoch()
+    sb = b.train_epoch()
+    np.testing.assert_allclose(sa["loss"], sb["loss"], rtol=1e-5)
+    va = a.evaluate("val")
+    vb = b.evaluate("val")
+    np.testing.assert_allclose(va, vb, rtol=1e-5)

@@ -99,7 +99,12 @@ class TemporalData:
 
 
 def load_npz(path: str, name: Optional[str] = None) -> TemporalData:
-    z = np.load(path, allow_pickle=False)
+    try:
+        z = np.load(path, allow_pickle=False)
+        _ = [z[k] for k in z.files]            # force decode
+    except ValueError:
+        # ragged negative sets are object arrays (tools/convert_tgb.py)
+        z = np.load(path, allow_pickle=True)
     return TemporalData(
         name=name or os.path.basename(path),
         src=z["src"].astype(np.int32),
@@ -159,12 +164,61 @@ def load_tgb(name: str, root: str = "datasets") -> TemporalData:
 
 
 def _load_tgb_processed(name: str, d: str) -> Optional[TemporalData]:
-    """Best-effort reader for the tgb package's cached numpy/csv outputs."""
-    # The tgb package caches `<name>_edgelist_v2.csv` plus .pkl metadata;
-    # we read the csv (timestamp,src,dst[,w,...]) if present.
+    """Reader for the tgb package's cached on-disk outputs (two known
+    layouts; fixture-tested in tests/test_tgb_ingest.py).  The ROBUST
+    path for real datasets is tools/convert_tgb.py (runs where the tgb
+    package exists and emits our canonical npz with the exact arrays the
+    reference assembles, utils.py:25-67, including the pre-generated
+    negative sets this csv path cannot recover):
+
+      1. TGAT/"ml_" layout (tgb's processed cache): ``ml_<name>.csv``
+         with columns (,u,i,ts[,label,idx]) + ``ml_<name>.npy`` edge
+         features (row 0 is a padding row — features are 1-indexed by
+         ``idx``);
+      2. edgelist csv (``*edgelist*.csv``) with named columns
+         (timestamp|ts|time, src|source|u, dst|target|i|v,
+         w*/feat* feature columns).
+    """
     import csv as _csv
 
-    for fn in os.listdir(d):
+    files = sorted(os.listdir(d))
+    # --- layout 1: ml_<name>.csv + ml_<name>.npy ----------------------
+    ml_csv = [fn for fn in files
+              if fn.startswith("ml_") and fn.endswith(".csv")]
+    if ml_csv:
+        fn = ml_csv[0]
+        ss, ds, ts, idxs = [], [], [], []
+        with open(os.path.join(d, fn)) as f:
+            reader = _csv.DictReader(f)
+            for row in reader:
+                ss.append(int(float(row["u"])))
+                ds.append(int(float(row["i"])))
+                ts.append(float(row["ts"]))
+                idxs.append(int(float(row.get("idx") or 0)))
+        src = np.asarray(ss, np.int64)
+        dst = np.asarray(ds, np.int64)
+        t = np.asarray(ts, np.float32)
+        feat_path = os.path.join(d, fn[:-4] + ".npy")
+        if os.path.exists(feat_path):
+            table = np.load(feat_path)
+            idx = np.asarray(idxs, np.int64)
+            if idx.max(initial=0) < len(table) and idx.min(initial=0) >= 0:
+                msg = table[idx].astype(np.float32)
+            else:
+                msg = table[:len(src)].astype(np.float32)
+        else:
+            msg = np.ones((len(src), 1), np.float32)
+        if msg.ndim == 1:
+            msg = msg[:, None]
+        order = np.argsort(t, kind="stable")
+        src, dst, t, msg = src[order], dst[order], t[order], msg[order]
+        tr, va, te = chronological_masks(len(t))
+        return TemporalData(name=name, src=src.astype(np.int32),
+                            dst=dst.astype(np.int32), t=t, msg=msg,
+                            train_mask=tr, val_mask=va, test_mask=te)
+
+    # --- layout 2: *edgelist*.csv with named columns ------------------
+    for fn in files:
         if fn.endswith(".csv") and "edgelist" in fn:
             ts, ss, ds, ws = [], [], [], []
             with open(os.path.join(d, fn)) as f:

@@ -19,6 +19,18 @@ MRR), while every device step runs jitted over a ("dp", "state") Mesh
     gradients and all-gather/all-to-all for cross-shard node-row
     gathers and mailbox commits over ICI.
 
+Single-chip dispatch discipline carried over (VERDICT r2 item 6):
+
+  * ``train.fuse_steps`` consecutive same-shape batches dispatch as ONE
+    lax.scan program (identical math; dispatch latency is the epoch
+    wall on tunneled runtimes) — eval negative-chunks fuse the same way;
+  * the narrow-dtype CompactWire ships by default
+    (``train.wire_compact``) — ~60% of the H2D bytes;
+  * eval ranks accumulate ON DEVICE into a (2,) accumulator fetched
+    ONCE per eval pass (no per-batch D2H);
+  * ``warm_buckets`` (borrowed from the single-chip Engine) pre-ratchets
+    the sticky shape buckets, train and eval profiles alike.
+
 Numerics match the single-device Engine up to float reassociation
 (tests/test_parallel.py::test_sharded_engine_matches_single); with a
 real multi-chip slice this class is the drop-in scaling path
@@ -33,6 +45,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..data.dataset import TemporalData
 from ..data.dependency import dependency_aware_batch
@@ -42,12 +55,20 @@ from ..models.memory import (MemoryModelConfig, MemoryState, apply_mail,
                              commit, init_memory_params, init_memory_state)
 from ..models.tgnn import (TGNNConfig, bce_loss, edge_predictor, init_tgnn,
                            tgnn_embed, tgnn_forward)
-from ..ops.wire import WirePack, expand_wire
+from ..ops.wire import expand_wire
 from ..engine.evaluator import jnp_ap_auc
 from ..engine.negatives import FixedNegatives, NegLinkSamplerDest
+from ..engine.train import Engine as _SingleEngine, _wire_key
 from ..utils.config import FrameworkConfig
 from . import mesh as mesh_lib
-from .sharded import _pad_leading, _pad_rows
+from .sharded import _pad_rows
+
+
+def _stack_wires(pend):
+    wp_cls = type(pend[0])
+    return wp_cls(*((np.stack([getattr(w, f) for w in pend])
+                     if getattr(pend[0], f) is not None else None)
+                    for f in wp_cls._fields))
 
 
 class ShardedEngine:
@@ -56,12 +77,18 @@ class ShardedEngine:
     width (train.max_intra_block is not None) so the jit signature is
     stable across batches."""
 
+    # sticky-bucket pre-warmer shared with the single-chip engine (the
+    # attributes it reads — packer/_sticky/_iter_batches/_wire_dedup/
+    # device_cache — exist here with the same meaning)
+    warm_buckets = _SingleEngine.warm_buckets
+    _maybe_compact = _SingleEngine._maybe_compact
+
     def __init__(self, data: TemporalData, config: FrameworkConfig,
                  mesh=None):
         from ..engine.train import _enable_persistent_compile_cache
         _enable_persistent_compile_cache()
         self.data = data
-        self.config = config
+        self.config = config.validate()
         tr = config.train
         assert tr.max_intra_block is not None, (
             "ShardedEngine needs a fixed train.max_intra_block")
@@ -85,6 +112,10 @@ class ShardedEngine:
             mailbox_size=config.memory.mailbox_size, seed=tr.seed)
         self.packer = make_stream_packer(data.num_nodes, pk_cfg)
         self.use_memory = config.memory.enabled and not tr.frozen_memory
+        # flags read by the borrowed warm_buckets/_maybe_compact
+        self.device_cache = False
+        self._wire_dedup = False      # dedup's dedup tables don't
+        self._wire_compact = bool(tr.wire_compact)   # range-partition
         key = jax.random.PRNGKey(tr.seed)
         k_model, k_mem = jax.random.split(key)
         self.params = init_tgnn(k_model, self.model_cfg)
@@ -117,13 +148,14 @@ class ShardedEngine:
         }
         self._blocks: Dict[str, np.ndarray] = {}
         self._placed = False
+        self._fuse = max(int(tr.fuse_steps), 1)
+        self._max_inflight = tr.max_inflight_batches
         self._build_steps()
 
     # ------------------------------------------------------------ sharding
     def _shardings(self):
         m = self.mesh
         return {
-            "wire": mesh_lib.wire_shardings(m),
             "state": mesh_lib.state_sharding(m),
             "row": mesh_lib.row_sharding(m),
             "rep": mesh_lib.replicated(m),
@@ -136,10 +168,31 @@ class ShardedEngine:
             mail_src=sh["state"], mail_dst=sh["state"], mail_t=sh["state"],
             mail_eid=sh["state"], mail_valid=sh["state"])
 
+    def _place_wire(self, wire, stacked: bool = False):
+        """Commit a (possibly stacked) wire with every field
+        range-partitioned over 'dp' (batch dim replicated when stacked).
+        Shape buckets are 16-divisible by construction (data/packer.py
+        _bucket_pow2), so dp | leading-dim always holds for pow-2 dp."""
+        mesh = self.mesh
+        dp_n = mesh.shape["dp"]
+        dim = 1 if stacked else 0
+
+        def put(a):
+            if a is None:
+                return None
+            a = np.asarray(a)
+            assert a.shape[dim] % dp_n == 0, (
+                f"wire dim {a.shape[dim]} not divisible by dp={dp_n}")
+            spec = P(None, "dp") if stacked else P("dp")
+            return jax.device_put(a, NamedSharding(mesh, spec))
+
+        return jax.tree.map(put, wire, is_leaf=lambda x: x is None)
+
+    # ------------------------------------------------------------- steps
     def _build_steps(self):
         sh = self._shardings()
-        rep, state_sh, wire_sh = sh["rep"], sh["state"], sh["wire"]
-        mem_sh = self._mem_sharding() if self.use_memory else state_sh
+        rep = sh["rep"]
+        mem_sh = self._mem_sharding() if self.use_memory else sh["state"]
         model_cfg, optimizer = self.model_cfg, self.optimizer
         K, IW, N = self.K, self.IW, self.N
         use_memory = self.use_memory
@@ -180,11 +233,28 @@ class ShardedEngine:
                 return params, opt_state, mem_state, acc, loss
 
             self._train_step = jax.jit(
-                step,
-                in_shardings=(rep, rep, mem_sh, state_sh, wire_sh, rep,
-                              rep),
-                out_shardings=(rep, rep, mem_sh, rep, rep),
+                step, out_shardings=(rep, rep, mem_sh, rep, rep),
                 donate_argnums=(0, 1, 2, 6))
+
+            def fused(params, opt_state, mem_state, feats, wires, rng,
+                      acc):
+                def body(carry, wire):
+                    params, opt_state, mem_state, acc, rng = carry
+                    rng, sk = jax.random.split(rng)
+                    params, opt_state, mem_state, acc, loss = step(
+                        params, opt_state, mem_state, feats, wire, sk,
+                        acc)
+                    return (params, opt_state, mem_state, acc, rng), loss
+
+                (params, opt_state, mem_state, acc, _), losses = \
+                    jax.lax.scan(
+                        body, (params, opt_state, mem_state, acc, rng),
+                        wires)
+                return params, opt_state, mem_state, acc, losses[-1]
+
+            self._fused_train_step = jax.jit(
+                fused, out_shardings=(rep, rep, mem_sh, rep, rep),
+                donate_argnums=(0, 1, 2, 6)) if self._fuse > 1 else None
 
             def efwd(params, mem_state, feats, wire):
                 pack = expand_wire(wire, K, IW, N)
@@ -200,9 +270,7 @@ class ShardedEngine:
                 return embed, mem_state
 
             self._eval_fwd = jax.jit(
-                efwd,
-                in_shardings=(rep, mem_sh, state_sh, wire_sh),
-                out_shardings=(sh["row"], mem_sh),
+                efwd, out_shardings=(sh["row"], mem_sh),
                 donate_argnums=(1,))
         else:
             def step(params, opt_state, memory, feats, wire, rng, acc):
@@ -222,35 +290,101 @@ class ShardedEngine:
                 return params, opt_state, acc, loss
 
             self._train_step = jax.jit(
-                step,
-                in_shardings=(rep, rep, state_sh, state_sh, wire_sh, rep,
-                              rep),
-                out_shardings=(rep, rep, rep, rep),
+                step, out_shardings=(rep, rep, rep, rep),
                 donate_argnums=(0, 1, 6))
+
+            def fused(params, opt_state, memory, feats, wires, rng, acc):
+                def body(carry, wire):
+                    params, opt_state, acc, rng = carry
+                    rng, sk = jax.random.split(rng)
+                    params, opt_state, acc, loss = step(
+                        params, opt_state, memory, feats, wire, sk, acc)
+                    return (params, opt_state, acc, rng), loss
+
+                (params, opt_state, acc, _), losses = jax.lax.scan(
+                    body, (params, opt_state, acc, rng), wires)
+                return params, opt_state, acc, losses[-1]
+
+            self._fused_train_step = jax.jit(
+                fused, out_shardings=(rep, rep, rep, rep),
+                donate_argnums=(0, 1, 6)) if self._fuse > 1 else None
 
             def efwd(params, memory, feats, wire):
                 pack = expand_wire(wire, K, IW, N)
                 return tgnn_embed(params, model_cfg, memory, feats, pack,
                                   train=False)
 
-            self._eval_fwd = jax.jit(
-                efwd,
-                in_shardings=(rep, state_sh, state_sh, wire_sh),
-                out_shardings=sh["row"])
+            self._eval_fwd = jax.jit(efwd, out_shardings=sh["row"])
 
-        def score(params, embed, wire, opt, pes):
+        def score(params, embed, wire, opt, pes, neg_mask):
+            """neg_mask: None or (B, Mc) bool — pad+mask ragged negatives
+            (train.eval_neg_mode='pad_mask'); masked columns count toward
+            neither rank bound (engine/train.Engine has the same fix)."""
             h_src = embed[wire.ev_src_slot]
             h_pos = embed[wire.ev_pos_slot]
             h_neg = embed[wire.ev_neg_slot]
             pos, neg = edge_predictor(params["pred"], h_src, h_pos, h_neg)
             neg2 = neg if neg.ndim == 2 else neg[:, None]
             p = pos[:, None]
-            return (opt + (neg2 > p).sum(axis=1),
-                    pes + (neg2 >= p).sum(axis=1))
+            gt = neg2 > p
+            ge = neg2 >= p
+            if neg_mask is not None:
+                m2 = neg_mask if neg_mask.ndim == 2 else neg_mask[:, None]
+                gt = jnp.logical_and(gt, m2)
+                ge = jnp.logical_and(ge, m2)
+            return (opt + gt.sum(axis=1), pes + ge.sum(axis=1))
 
-        self._eval_score = jax.jit(
-            score, in_shardings=(rep, sh["row"], wire_sh, rep, rep),
-            out_shardings=(rep, rep), donate_argnums=(3, 4))
+        self._score_raw = score
+        self._eval_score = jax.jit(score, out_shardings=(rep, rep),
+                                   donate_argnums=(3, 4))
+
+        if use_memory:
+            def efused(params, mem_state, feats, wires, masks, opt, pes):
+                xs = wires if masks is None else (wires, masks)
+
+                def body(carry, x):
+                    wire, m = (x, None) if masks is None else x
+                    mem_state, opt, pes = carry
+                    embed, mem_state = efwd(params, mem_state, feats,
+                                            wire)
+                    opt, pes = score(params, embed, wire, opt, pes, m)
+                    return (mem_state, opt, pes), None
+
+                (mem_state, opt, pes), _ = jax.lax.scan(
+                    body, (mem_state, opt, pes), xs)
+                return mem_state, opt, pes, opt.sum()
+
+            self._fused_eval_step = jax.jit(
+                efused, out_shardings=(mem_sh, rep, rep, rep),
+                donate_argnums=(1, 5, 6)) if self._fuse > 1 else None
+        else:
+            def efused(params, memory, feats, wires, masks, opt, pes):
+                xs = wires if masks is None else (wires, masks)
+
+                def body(carry, x):
+                    wire, m = (x, None) if masks is None else x
+                    opt, pes = carry
+                    embed = efwd(params, memory, feats, wire)
+                    opt, pes = score(params, embed, wire, opt, pes, m)
+                    return (opt, pes), None
+
+                (opt, pes), _ = jax.lax.scan(body, (opt, pes), xs)
+                return opt, pes, opt.sum()
+
+            self._fused_eval_step = jax.jit(
+                efused, out_shardings=(rep, rep, rep),
+                donate_argnums=(5, 6)) if self._fuse > 1 else None
+
+        # per-batch MRR finalizer: acc (2,) += [batch_mean_rr, 1]
+        def finalize(acc, opt, pes, valid):
+            rank = 0.5 * (opt + pes).astype(jnp.float32) + 1.0
+            rr = jnp.where(valid, 1.0 / rank, 0.0)
+            return acc + jnp.stack([rr.sum()
+                                    / jnp.maximum(valid.sum(), 1),
+                                    jnp.float32(1.0)])
+
+        self._eval_finalize = jax.jit(finalize, out_shardings=rep,
+                                      donate_argnums=(0,))
 
     # ------------------------------------------------------------ plumbing
     def _place_state(self):
@@ -273,15 +407,6 @@ class ShardedEngine:
             self.memory_frozen = jax.device_put(
                 _pad_rows(self.memory_frozen, st_n), sh["state"])
         self._placed = True
-
-    def _place_wire(self, wire: WirePack):
-        dp_n = self.mesh.shape["dp"]
-        sh = self._shardings()["wire"]
-        wire = WirePack(*[(None if a is None
-                           else _pad_leading(np.asarray(a), dp_n))
-                          for a in wire])
-        return jax.tree.map(lambda a, s: jax.device_put(a, s), wire, sh,
-                            is_leaf=lambda x: x is None)
 
     def blocks_for(self, split: str) -> np.ndarray:
         if split not in self._blocks:
@@ -311,27 +436,72 @@ class ShardedEngine:
             self.mem_state = MemoryState(*[
                 jax.device_put(_pad_rows(a, st_n), s)
                 for a, s in zip(init_memory_state(self.mem_cfg), mem_sh)])
-        acc = jax.device_put(jnp.zeros(4, jnp.float32),
-                             self._shardings()["rep"])
+        rep = self._shardings()["rep"]
+        acc = jax.device_put(jnp.zeros(4, jnp.float32), rep)
         total = 0
-        for lo, hi, rows, blk in self._iter_batches("train"):
-            src, dst, t = d.src[rows], d.dst[rows], d.t[rows]
-            neg = self.neg_sampler.sample(dst)
-            wire, _iw = self.packer.pack_wire(src, dst, t, rows, blk, neg)
-            wire = self._place_wire(wire)
+        inflight = []
+
+        def throttle(h):
+            inflight.append(h)
+            if self._max_inflight and len(inflight) > self._max_inflight:
+                jax.block_until_ready(inflight.pop(0))
+
+        def dispatch_one(wire, acc):
+            w = self._place_wire(wire)
             self._rng, sk = jax.random.split(self._rng)
             if self.use_memory:
                 (self.params, self.opt_state, self.mem_state, acc,
-                 _loss) = self._train_step(self.params, self.opt_state,
-                                           self.mem_state, self.feats,
-                                           wire, sk, acc)
+                 loss) = self._train_step(self.params, self.opt_state,
+                                          self.mem_state, self.feats,
+                                          w, sk, acc)
             else:
-                self.params, self.opt_state, acc, _loss = \
+                self.params, self.opt_state, acc, loss = \
                     self._train_step(self.params, self.opt_state,
-                                     self.memory_frozen, self.feats, wire,
+                                     self.memory_frozen, self.feats, w,
                                      sk, acc)
+            throttle(loss)
+            return acc
+
+        def dispatch_group(pend, acc):
+            w = self._place_wire(_stack_wires(pend), stacked=True)
+            self._rng, sk = jax.random.split(self._rng)
+            if self.use_memory:
+                (self.params, self.opt_state, self.mem_state, acc,
+                 handle) = self._fused_train_step(
+                    self.params, self.opt_state, self.mem_state,
+                    self.feats, w, sk, acc)
+            else:
+                self.params, self.opt_state, acc, handle = \
+                    self._fused_train_step(self.params, self.opt_state,
+                                           self.memory_frozen, self.feats,
+                                           w, sk, acc)
+            throttle(handle)
+            return acc
+
+        G = self._fuse if self._fused_train_step is not None else 1
+        pend, pend_key = [], None
+        for lo, hi, rows, blk in self._iter_batches("train"):
+            src, dst, t = d.src[rows], d.dst[rows], d.t[rows]
+            neg = self.neg_sampler.sample(dst)
+            wire, iw = self.packer.pack_wire(src, dst, t, rows, blk, neg)
+            wire = self._maybe_compact(wire, iw)
             total += hi - lo
-        vals = np.asarray(acc)
+            if G > 1:
+                key = _wire_key(iw, wire)
+                if pend and key != pend_key:
+                    for w in pend:
+                        acc = dispatch_one(w, acc)
+                    pend = []
+                pend_key = key
+                pend.append(wire)
+                if len(pend) == G:
+                    acc = dispatch_group(pend, acc)
+                    pend = []
+            else:
+                acc = dispatch_one(wire, acc)
+        for w in pend:
+            acc = dispatch_one(w, acc)
+        vals = np.asarray(acc)                   # ONE fetch per epoch
         nb = max(vals[3], 1.0)
         return {"loss": float(vals[0]), "ap": float(vals[1] / nb),
                 "auc": float(vals[2] / nb), "events": total}
@@ -345,37 +515,94 @@ class ShardedEngine:
         fixed = FixedNegatives(ns, mode=self.config.train.eval_neg_mode)
         B = self.config.train.batch_size
         rep = self._shardings()["rep"]
-        rrs = []
+        acc = jax.device_put(jnp.zeros(2, jnp.float32), rep)
+        inflight = []
+
+        def throttle(h):
+            inflight.append(h)
+            if self._max_inflight and len(inflight) > self._max_inflight:
+                jax.block_until_ready(inflight.pop(0))
+
+        def dispatch_chunk(wire, opt, pes, mask_c):
+            w = self._place_wire(wire)
+            m = (None if mask_c is None
+                 else jax.device_put(mask_c, rep))
+            if self.use_memory:
+                embed, self.mem_state = self._eval_fwd(
+                    self.params, self.mem_state, self.feats, w)
+            else:
+                embed = self._eval_fwd(self.params, self.memory_frozen,
+                                       self.feats, w)
+            opt, pes = self._eval_score(self.params, embed, w, opt, pes,
+                                        m)
+            throttle(opt)
+            return opt, pes
+
+        def dispatch_chunks(pend, pend_masks, opt, pes):
+            if len(pend) == 1:
+                return dispatch_chunk(pend[0], opt, pes, pend_masks[0])
+            w = self._place_wire(_stack_wires(pend), stacked=True)
+            masks = (None if pend_masks[0] is None
+                     else jax.device_put(np.stack(pend_masks), rep))
+            if self.use_memory:
+                self.mem_state, opt, pes, handle = self._fused_eval_step(
+                    self.params, self.mem_state, self.feats, w, masks,
+                    opt, pes)
+            else:
+                opt, pes, handle = self._fused_eval_step(
+                    self.params, self.memory_frozen, self.feats, w,
+                    masks, opt, pes)
+            throttle(handle)
+            return opt, pes
+
+        G = self._fuse if self._fused_eval_step is not None else 1
         for lo, hi, rows, blk in self._iter_batches(split):
             src, dst, t = d.src[rows], d.dst[rows], d.t[rows]
-            neg, _mask = fixed.query_batch(lo, hi)
+            neg, mask = fixed.query_batch(lo, hi)
             neg = np.asarray(neg).reshape(len(rows), -1)
             M = neg.shape[1]
+            mask2d = None
+            if mask is not None:
+                mask2d = np.zeros((B, M), bool)
+                mask2d[:len(rows)] = mask
             Mc = (self.config.train.eval_neg_chunk
                   or max(1, min(M, 49152 // max(hi - lo, 1) - 2)))
             n_chunks = -(-M // Mc)
             opt = jax.device_put(jnp.zeros(B, jnp.int32), rep)
             pes = jax.device_put(jnp.zeros(B, jnp.int32), rep)
+            pend, pend_masks, pend_key = [], [], None
             for ci in range(n_chunks):
                 last = ci == n_chunks - 1
                 neg_c = neg[:, ci * Mc:(ci + 1) * Mc]
-                wire, _iw = self.packer.pack_wire(
+                mask_c = (None if mask2d is None
+                          else mask2d[:, ci * Mc:(ci + 1) * Mc])
+                wire, iw = self.packer.pack_wire(
                     src, dst, t, rows, blk, neg_c, eval_mode=True,
                     insert=last, write_mail=last)
-                wire = self._place_wire(wire)
-                if self.use_memory:
-                    embed, self.mem_state = self._eval_fwd(
-                        self.params, self.mem_state, self.feats, wire)
-                else:
-                    embed = self._eval_fwd(self.params,
-                                           self.memory_frozen,
-                                           self.feats, wire)
-                opt, pes = self._eval_score(self.params, embed, wire,
-                                            opt, pes)
-            rank = 0.5 * (np.asarray(opt) + np.asarray(pes)) + 1.0
-            rr = 1.0 / rank[:hi - lo]
-            rrs.append(rr.mean())
-        return float(np.mean(rrs))
+                wire = self._maybe_compact(wire, iw)
+                if not last and G > 1:
+                    key = (_wire_key(iw, wire), mask_c is None)
+                    if pend and key != pend_key:
+                        opt, pes = dispatch_chunks(pend, pend_masks, opt,
+                                                   pes)
+                        pend, pend_masks = [], []
+                    pend_key = key
+                    pend.append(wire)
+                    pend_masks.append(mask_c)
+                    if len(pend) == G:
+                        opt, pes = dispatch_chunks(pend, pend_masks, opt,
+                                                   pes)
+                        pend, pend_masks = [], []
+                    continue
+                if pend:
+                    opt, pes = dispatch_chunks(pend, pend_masks, opt, pes)
+                    pend, pend_masks = [], []
+                opt, pes = dispatch_chunk(wire, opt, pes, mask_c)
+            valid = jax.device_put(
+                jnp.asarray(np.arange(B) < (hi - lo)), rep)
+            acc = self._eval_finalize(acc, opt, pes, valid)
+        vals = np.asarray(acc)                   # ONE fetch per pass
+        return float(vals[0] / max(vals[1], 1.0))
 
     def fit(self, epochs: int, log=print) -> Dict[str, list]:
         history = {"loss": [], "val": []}
