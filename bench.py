@@ -1,23 +1,44 @@
 #!/usr/bin/env python
 """Headline benchmark: temporal-edges/sec of TGN training on tgbl-wiki.
 
-Prints ONE JSON line:
+Prints ONE JSON line whose core fields are
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+plus measurement-health and roofline fields (VERDICT r2 items 2-4):
+
+  tunnel_rtt_ms     — median round-trip of a tiny fresh-content dispatch,
+                      measured immediately before the timed windows.  The
+                      tunneled chip's dispatch latency varies >1000x across
+                      the day; this is the denominator needed to compare
+                      bench numbers across runs.
+  windows           — edges/s of every sustained window (the headline
+                      value is their MEDIAN, not best-of — reproducible).
+  pack_s/disp_s/wait_s — host-phase seconds of the last measured epoch.
+  mfu, tflops, hbm_gbps, flops_per_event — analytic roofline accounting
+                      (utils/flops.py) at the measured rate vs TPU v5e
+                      peaks (197 TFLOP/s bf16, 819 GB/s).
+  memory_eps        — edges/s with the REAL mailbox memory enabled
+                      (train.frozen_memory=False): the framework's
+                      flagship capability, benchmarked alongside the
+                      reference-parity frozen path.
 
 Protocol: the flagship TGNN (reference model_utils.py:14-159 math) trains
 on a tgbl-wiki-scale synthetic stream (157K events, 9,227 nodes, msg_dim
 172 — same shapes as the real dataset; the tgb package cannot download in
 a zero-egress environment) with the reference hyperparameters: batch 2000
 events, K=10 recency neighbors, hidden 100, 8 heads, 1 negative/event,
-dependency-aware blocking.  We time steady-state end-to-end training
-(host packing + device step + param update), excluding compilation, and
-report events/sec.
+dependency-aware blocking.  Steady-state end-to-end training (host
+packing + wire transfer + device step + Adam + epoch metrics), compile
+excluded.
 
 ``vs_baseline`` divides by the reference baseline recorded in
 BASELINE.json["measured"] — produced by baselines/reference_torch.py, a
 faithful torch re-execution of the reference's per-block sequential math
 on this host's hardware (the reference runs `cuda if available else cpu`,
 pyg-mem-tgn.py:35; this host has no CUDA).
+
+Env knobs for quick smoke runs: BENCH_MEASURE_BATCHES=N caps each epoch
+at N batches (and drops to 1 window); BENCH_SKIP_MEMORY=1 skips the
+memory-mode measurement; BENCH_DEVICE_CACHE=1 A/Bs the device-cache mode.
 """
 import json
 import os
@@ -27,66 +48,143 @@ import time
 import numpy as np
 
 
+def _probe_rtt(n: int = 5) -> float:
+    """Median ms round-trip of a tiny dispatch with FRESH content each
+    call — the tunneled runtime memoizes repeat dispatches by content
+    (BASELINE.md), so a constant probe would measure the cache."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda a: (a * 1.0000001 + 1.0).sum())
+    x = jnp.arange(8, dtype=jnp.float32)
+    jax.block_until_ready(f(x))                  # compile outside probe
+    ts = []
+    for i in range(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x + np.float32(i)))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts) * 1000.0)
+
+
+def _measure(engine, n_windows: int, epochs_per_window: int = 2):
+    """Sustained edges/s per window; each window drains the queue and
+    materializes every epoch's stats inside the timed region."""
+    import jax
+
+    rates = []
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        stats = [engine.train_epoch() for _ in range(epochs_per_window)]
+        jax.block_until_ready(engine.params)
+        events = sum(s["events"] for s in stats)
+        assert all(np.isfinite(s["loss"]) for s in stats)
+        rates.append(events / (time.perf_counter() - t0))
+    return rates
+
+
+def _engine_cost(engine, frozen: bool):
+    """Analytic per-step cost from the engine's actual shape buckets."""
+    from tgb_tgn_dgl_tpu.utils.flops import count_params, flagship_step_cost
+
+    cfg = engine.config
+    K = cfg.sampling.num_neighbors
+    skey = (1, False)
+    sticky = getattr(engine.packer, "_sticky", {}).get(skey, {})
+    P = (cfg.train.max_intra_block
+         if cfg.train.max_intra_block is not None
+         else sticky.get("P", 32))
+    R = sticky.get("R", 6144)
+    U = 0 if frozen else sticky.get("Ub", R)
+    return flagship_step_cost(
+        B=cfg.train.batch_size, R=R, Kp=K + 1 + P,
+        F=engine.data.msg_dim, D=cfg.gnn.dim_out, H=cfg.gnn.att_head,
+        M=1, U=U, S=cfg.memory.mailbox_size,
+        updater=cfg.memory.memory_update,
+        n_params=count_params(engine.params), train=True,
+        act_bytes=2 if cfg.train.compute_dtype == "bfloat16" else 4)
+
+
 def main():
     import jax
 
     from tgb_tgn_dgl_tpu.data.dataset import synthetic
     from tgb_tgn_dgl_tpu.engine.train import Engine
     from tgb_tgn_dgl_tpu.utils.config import parse_config_dict
+    from tgb_tgn_dgl_tpu.utils.flops import mfu_report
+
+    sanity = int(os.environ.get("BENCH_MEASURE_BATCHES", "0"))
+    n_windows = 1 if sanity else 3
+
+    def make_config(frozen: bool):
+        return parse_config_dict({
+            "sampling": [{"neighbor": [10], "num_thread": os.cpu_count()}],
+            "gnn": [{"dim_out": 100, "att_head": 8, "layer": 1}],
+            "train": [{"batch_size": 2000, "lr": 1e-4, "dropout": 0.2,
+                       "compute_dtype": "bfloat16",
+                       "frozen_memory": frozen,
+                       "sanity_batches": sanity,
+                       "device_cache":
+                           os.environ.get("BENCH_DEVICE_CACHE", "0") == "1"}],
+        })
 
     data = synthetic("tgbl-wiki")
-    config = parse_config_dict({
-        "sampling": [{"neighbor": [10], "num_thread": os.cpu_count()}],
-        "gnn": [{"dim_out": 100, "att_head": 8, "layer": 1}],
-        "train": [{"batch_size": 2000, "lr": 1e-4, "dropout": 0.2,
-                   "compute_dtype": "bfloat16",
-                   "device_cache":
-                       os.environ.get("BENCH_DEVICE_CACHE", "0") == "1"}],
-    })
-    engine = Engine(data, config)
-
-    # Precompute dependency blocks (one-time preprocessing in the
-    # reference too, utils.py:55-57) outside the timed region.
-    engine.blocks_for("train")
-
-    # Pre-ratchet sticky shape buckets (host-only replay), then one
-    # warmup epoch: compiles the (single, thanks to the warmer) shape
-    # bucket of the train cycle.
+    engine = Engine(data, make_config(frozen=True))
+    engine.blocks_for("train")         # one-time preprocessing, untimed
     engine.warm_buckets()
-    jax.block_until_ready(engine.train_epoch()["loss"])
-    # Measure sustained throughput over two windows of 2 back-to-back
-    # epochs (host packing + wire transfer + device step + Adam + epoch
-    # metrics; per-epoch stats D2H pipelines with the next epoch exactly
-    # as in a real multi-epoch run) and report the best window — the
-    # remote link's dispatch latency varies across the day and the number
-    # should reflect steady-state framework capability.  Each window ends
-    # with the device queue fully drained and every epoch's metrics
-    # materialized on the host, inside the timed region.
-    best = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        stats = [engine.train_epoch() for _ in range(2)]
-        jax.block_until_ready(engine.params)
-        events = sum(s["events"] for s in stats)
-        assert all(np.isfinite(s["loss"]) for s in stats)
-        secs = time.perf_counter() - t0
-        best = max(best or 0.0, events / secs)
-    eps = best
+    jax.block_until_ready(engine.train_epoch()["loss"])   # compile epoch
+
+    rtt_ms = _probe_rtt()
+    rates = _measure(engine, n_windows)
+    eps = float(np.median(rates))
+    trace = getattr(engine, "last_epoch_trace", {})
+
+    # roofline accounting at the measured rate
+    mfu = mfu_report(eps, _engine_cost(engine, frozen=True),
+                     engine.config.train.batch_size)
+
+    # real mailbox-memory flagship (frozen_memory=False)
+    memory_eps = None
+    mem_mfu = None
+    if os.environ.get("BENCH_SKIP_MEMORY", "0") != "1":
+        mem_engine = Engine(data, make_config(frozen=False))
+        mem_engine.blocks_for("train")
+        mem_engine.warm_buckets()
+        jax.block_until_ready(mem_engine.train_epoch()["loss"])
+        mem_rates = _measure(mem_engine, max(1, n_windows - 1))
+        memory_eps = float(np.median(mem_rates))
+        mem_mfu = mfu_report(memory_eps,
+                             _engine_cost(mem_engine, frozen=False),
+                             mem_engine.config.train.batch_size)
 
     baseline_eps = None
     try:
-        with open(os.path.join(os.path.dirname(__file__), "BASELINE.json")) as f:
+        with open(os.path.join(os.path.dirname(__file__),
+                               "BASELINE.json")) as f:
             baseline_eps = json.load(f)["measured"]["reference_torch_eps"]
     except Exception:
         pass
     vs = eps / baseline_eps if baseline_eps else None
 
-    print(json.dumps({
+    out = {
         "metric": "tgn_train_temporal_edges_per_sec",
         "value": round(eps, 1),
         "unit": "edges/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
-    }))
+        "tunnel_rtt_ms": round(rtt_ms, 3),
+        "windows": [round(r, 1) for r in rates],
+        "pack_s": round(trace.get("pack_s", 0.0), 3),
+        "disp_s": round(trace.get("disp_s", 0.0), 3),
+        "wait_s": round(trace.get("wait_s", 0.0), 3),
+        "flops_per_event": round(mfu["flops_per_event"], 1),
+        "tflops": round(mfu["tflops"], 3),
+        "mfu": round(mfu["mfu"], 4),
+        "hbm_gbps": round(mfu["hbm_gbps"], 1),
+        "memory_eps": (round(memory_eps, 1)
+                       if memory_eps is not None else None),
+        "memory_mfu": (round(mem_mfu["mfu"], 4)
+                       if mem_mfu is not None else None),
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

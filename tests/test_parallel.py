@@ -163,3 +163,37 @@ def test_sharded_engine_fused_compact_exact():
     va = a.evaluate("val")
     vb = b.evaluate("val")
     np.testing.assert_allclose(va, vb, rtol=1e-5)
+
+
+def test_sharded_dispatch_count_near_single():
+    """VERDICT r2 item 6 'done' bar: the sharded engine's device
+    dispatches per train epoch + eval pass stay within ~2x of the
+    single-chip engine's under the same fused config."""
+    from tgb_tgn_dgl_tpu.data.dataset import synthetic
+    from tgb_tgn_dgl_tpu.engine.train import Engine
+    from tgb_tgn_dgl_tpu.parallel.engine import ShardedEngine
+    from tgb_tgn_dgl_tpu.utils.config import parse_config_dict
+
+    data = synthetic("tiny-dispatch", num_edges=2048, num_nodes=128,
+                     msg_dim=8, num_neg=6, seed=13)
+    raw = {
+        "sampling": [{"neighbor": [5]}],
+        "memory": [{"dim_out": 16, "dim_time": 16}],
+        "gnn": [{"dim_out": 16, "att_head": 2, "dim_time": 16}],
+        "train": [{"batch_size": 128, "lr": 1e-3, "fuse_steps": 4,
+                   "frozen_memory": False}],
+    }
+    single = Engine(data, parse_config_dict(raw))
+    single.warm_buckets()
+    single.train_epoch()
+    single.evaluate("val")
+    n_single = single.dispatch_count
+
+    sh = ShardedEngine(data, parse_config_dict(raw),
+                       mesh=mesh_lib.make_mesh(8, dp=4, state=2))
+    sh.warm_buckets()
+    sh.train_epoch()
+    sh.evaluate("val")
+    n_sh = sh.dispatch_count
+    assert n_single > 0 and n_sh > 0
+    assert n_sh <= 2 * n_single, (n_sh, n_single)

@@ -275,6 +275,9 @@ class Engine:
         }
         self._blocks: Dict[str, np.ndarray] = {}
         self._jit = jit
+        # device dispatches issued (train steps, eval fwd/score/finalize)
+        # — the binding cost on remote backends (BASELINE.md perf model)
+        self.dispatch_count = 0
         self._train_step = self._build_train_step()
         self._fused_train_step = (self._build_fused_train_step()
                                   if tr.fuse_steps > 1 else None)
@@ -1048,6 +1051,7 @@ class Engine:
         lean = self.device_cache
 
         def dispatch_one(wire, iw, acc):
+            self.dispatch_count += 1
             self._rng, sk = jax.random.split(self._rng)
             if lean and self.use_memory:
                 (self.params, self.opt_state, self.mem_state, self.sstate,
@@ -1073,6 +1077,7 @@ class Engine:
             return acc
 
         def dispatch_group(wires_list, iw, acc):
+            self.dispatch_count += 1
             wp_cls = type(wires_list[0])
             stacked = wp_cls(*(
                 (np.stack([getattr(w, f) for w in wires_list])
@@ -1183,6 +1188,7 @@ class Engine:
         lean = self.device_cache
 
         def dispatch_chunk(wire, iw, opt, pes, advance=True, neg_mask=None):
+            self.dispatch_count += 2        # fwd + score
             if lean and self.use_memory:
                 embed, self.mem_state, self.sstate = self._eval_fwd(
                     self.params, self.mem_state, self.sstate, self.feats,
@@ -1209,6 +1215,7 @@ class Engine:
                 return dispatch_chunk(pend[0], iw, opt, pes,
                                       advance=False,
                                       neg_mask=pend_masks[0])
+            self.dispatch_count += 1
             wp_cls = type(pend[0])
             stacked = wp_cls(*(
                 (np.stack([getattr(w, f) for w in pend])
@@ -1293,6 +1300,7 @@ class Engine:
                 # the LAST chunk advances stream state -> per-chunk path
                 opt, pes = dispatch_chunk(wire, iw, opt, pes,
                                           neg_mask=mask_c)
+            self.dispatch_count += 1
             valid = jnp.asarray(np.arange(B) < (hi - lo))
             acc = self._eval_finalize(acc, opt, pes, valid)
         try:

@@ -148,6 +148,7 @@ class ShardedEngine:
         }
         self._blocks: Dict[str, np.ndarray] = {}
         self._placed = False
+        self.dispatch_count = 0
         self._fuse = max(int(tr.fuse_steps), 1)
         self._max_inflight = tr.max_inflight_batches
         self._build_steps()
@@ -447,6 +448,7 @@ class ShardedEngine:
                 jax.block_until_ready(inflight.pop(0))
 
         def dispatch_one(wire, acc):
+            self.dispatch_count += 1
             w = self._place_wire(wire)
             self._rng, sk = jax.random.split(self._rng)
             if self.use_memory:
@@ -463,6 +465,7 @@ class ShardedEngine:
             return acc
 
         def dispatch_group(pend, acc):
+            self.dispatch_count += 1
             w = self._place_wire(_stack_wires(pend), stacked=True)
             self._rng, sk = jax.random.split(self._rng)
             if self.use_memory:
@@ -524,6 +527,7 @@ class ShardedEngine:
                 jax.block_until_ready(inflight.pop(0))
 
         def dispatch_chunk(wire, opt, pes, mask_c):
+            self.dispatch_count += 2        # fwd + score
             w = self._place_wire(wire)
             m = (None if mask_c is None
                  else jax.device_put(mask_c, rep))
@@ -541,6 +545,7 @@ class ShardedEngine:
         def dispatch_chunks(pend, pend_masks, opt, pes):
             if len(pend) == 1:
                 return dispatch_chunk(pend[0], opt, pes, pend_masks[0])
+            self.dispatch_count += 1
             w = self._place_wire(_stack_wires(pend), stacked=True)
             masks = (None if pend_masks[0] is None
                      else jax.device_put(np.stack(pend_masks), rep))
@@ -598,6 +603,7 @@ class ShardedEngine:
                     opt, pes = dispatch_chunks(pend, pend_masks, opt, pes)
                     pend, pend_masks = [], []
                 opt, pes = dispatch_chunk(wire, opt, pes, mask_c)
+            self.dispatch_count += 1
             valid = jax.device_put(
                 jnp.asarray(np.arange(B) < (hi - lo)), rep)
             acc = self._eval_finalize(acc, opt, pes, valid)
