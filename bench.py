@@ -56,12 +56,17 @@ def _probe_rtt(n: int = 5) -> float:
     import jax.numpy as jnp
 
     f = jax.jit(lambda a: (a * 1.0000001 + 1.0).sum())
-    x = jnp.arange(8, dtype=jnp.float32)
-    jax.block_until_ready(f(x))                  # compile outside probe
+    # fresh device-resident inputs prepared OUTSIDE the timed region, so
+    # each sample times exactly ONE dispatch (and never re-presents the
+    # warmup's content, which the tunnel would serve from its memo)
+    xs = [jnp.arange(8, dtype=jnp.float32) + np.float32(i + 1)
+          for i in range(n + 1)]
+    jax.block_until_ready(xs)
+    jax.block_until_ready(f(xs[n]))              # compile outside probe
     ts = []
     for i in range(n):
         t0 = time.perf_counter()
-        jax.block_until_ready(f(x + np.float32(i)))
+        jax.block_until_ready(f(xs[i]))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts) * 1000.0)
 

@@ -101,9 +101,13 @@ class TemporalData:
 def load_npz(path: str, name: Optional[str] = None) -> TemporalData:
     try:
         z = np.load(path, allow_pickle=False)
-        _ = [z[k] for k in z.files]            # force decode
+        # only the *_ns members can be object arrays (ragged negative
+        # sets, tools/convert_tgb.py) — probe just those, not the big
+        # event/feature tables
+        for k in ("val_ns", "test_ns"):
+            if k in z.files:
+                z[k]
     except ValueError:
-        # ragged negative sets are object arrays (tools/convert_tgb.py)
         z = np.load(path, allow_pickle=True)
     return TemporalData(
         name=name or os.path.basename(path),
@@ -199,14 +203,24 @@ def _load_tgb_processed(name: str, d: str) -> Optional[TemporalData]:
         dst = np.asarray(ds, np.int64)
         t = np.asarray(ts, np.float32)
         feat_path = os.path.join(d, fn[:-4] + ".npy")
-        if os.path.exists(feat_path):
-            table = np.load(feat_path)
-            idx = np.asarray(idxs, np.int64)
-            if idx.max(initial=0) < len(table) and idx.min(initial=0) >= 0:
-                msg = table[idx].astype(np.float32)
-            else:
-                msg = table[:len(src)].astype(np.float32)
+        table = np.load(feat_path) if os.path.exists(feat_path) else None
+        idx = np.asarray(idxs, np.int64)
+        if table is not None and not idx.any():
+            # no idx column: features align row-for-row (1-indexed when
+            # the table carries the padding row 0, else 0-indexed)
+            idx = (np.arange(1, len(src) + 1)
+                   if len(table) == len(src) + 1
+                   else np.arange(len(src)))
+        if (table is not None and len(idx) == len(src)
+                and idx.min(initial=0) >= 0
+                and idx.max(initial=0) < len(table)):
+            msg = table[idx].astype(np.float32)
         else:
+            if table is not None:
+                import warnings
+                warnings.warn(
+                    f"{feat_path}: idx column out of range for the "
+                    f"feature table; falling back to ones")
             msg = np.ones((len(src), 1), np.float32)
         if msg.ndim == 1:
             msg = msg[:, None]

@@ -39,7 +39,7 @@ from ..models.variants import (EagerMemoryConfig, dyrep_messages,
                                init_eager_memory_params,
                                init_eager_memory_state)
 from ..ops.wire import (compact_wire, expand_any, expand_wire,
-                        pack_to_wire)
+                        pack_to_wire, stack_wires)
 from ..utils.config import FrameworkConfig
 from .checkpoint import (EarlyStopMonitor, load_pytree, rng_state_from_array,
                          rng_state_to_array, save_pytree)
@@ -116,6 +116,17 @@ class EpochStats:
 
     def __repr__(self):
         return repr(self._resolve())
+
+
+def eval_neg_chunk_size(config, M: int, n_events: int) -> int:
+    """Negatives per eval chunk: root slots scale with B*(2+Mc), so cap
+    ~24K root slots per chunk (TrainConfig.eval_neg_chunk overrides).
+    ONE definition shared by Engine.evaluate, Engine.warm_buckets and
+    ShardedEngine.evaluate — the eval-bucket pre-warm only prevents
+    mid-eval XLA compiles if its chunking matches evaluate's exactly.
+    """
+    return (config.train.eval_neg_chunk
+            or max(1, min(M, 49152 // max(n_events, 1) - 2)))
 
 
 def _wire_key(iw, wire):
@@ -917,8 +928,7 @@ class Engine:
                 neg, _mask = fixed.query_batch(lo, hi)
                 neg2d = np.asarray(neg).reshape(len(rows), -1)
                 M = neg2d.shape[1]
-                Mc = (self.config.train.eval_neg_chunk
-                      or max(1, min(M, 49152 // max(hi - lo, 1) - 2)))
+                Mc = eval_neg_chunk_size(self.config, M, hi - lo)
                 n_chunks = -(-M // Mc)
                 for ci in range(n_chunks):
                     last = ci == n_chunks - 1
@@ -1078,11 +1088,7 @@ class Engine:
 
         def dispatch_group(wires_list, iw, acc):
             self.dispatch_count += 1
-            wp_cls = type(wires_list[0])
-            stacked = wp_cls(*(
-                (np.stack([getattr(w, f) for w in wires_list])
-                 if getattr(wires_list[0], f) is not None else None)
-                for f in wp_cls._fields))
+            stacked = stack_wires(wires_list)
             self._rng, sk = jax.random.split(self._rng)
             if lean and self.use_memory:
                 (self.params, self.opt_state, self.mem_state, self.sstate,
@@ -1216,11 +1222,7 @@ class Engine:
                                       advance=False,
                                       neg_mask=pend_masks[0])
             self.dispatch_count += 1
-            wp_cls = type(pend[0])
-            stacked = wp_cls(*(
-                (np.stack([getattr(w, f) for w in pend])
-                 if getattr(pend[0], f) is not None else None)
-                for f in wp_cls._fields))
+            stacked = stack_wires(pend)
             masks = (None if pend_masks[0] is None
                      else np.stack(pend_masks))
             if lean and self.use_memory:
@@ -1254,8 +1256,7 @@ class Engine:
             if mask is not None:
                 mask2d = np.zeros((B, M), bool)
                 mask2d[:len(rows)] = mask
-            Mc = (self.config.train.eval_neg_chunk
-                  or max(1, min(M, 49152 // max(hi - lo, 1) - 2)))
+            Mc = eval_neg_chunk_size(self.config, M, hi - lo)
             n_chunks = -(-M // Mc)
             opt = jnp.zeros(B, jnp.int32)
             pes = jnp.zeros(B, jnp.int32)

@@ -63,6 +63,15 @@ class WirePack(NamedTuple):
     ia_rslot: Optional[jnp.ndarray] = None      # (Ei,)
 
 
+def stack_wires(wires):
+    """Stack same-shape wires (any wire NamedTuple) along a new leading
+    axis for fused lax.scan dispatch; None fields stay None."""
+    wp_cls = type(wires[0])
+    return wp_cls(*((np.stack([getattr(w, f) for w in wires])
+                     if getattr(wires[0], f) is not None else None)
+                    for f in wp_cls._fields))
+
+
 def pack_to_wire(pack: Pack, num_neighbors: int) -> WirePack:
     """Host-side compaction of a full Pack (numpy)."""
     K = num_neighbors

@@ -55,20 +55,14 @@ from ..models.memory import (MemoryModelConfig, MemoryState, apply_mail,
                              commit, init_memory_params, init_memory_state)
 from ..models.tgnn import (TGNNConfig, bce_loss, edge_predictor, init_tgnn,
                            tgnn_embed, tgnn_forward)
-from ..ops.wire import expand_wire
+from ..ops.wire import expand_wire, stack_wires
 from ..engine.evaluator import jnp_ap_auc
 from ..engine.negatives import FixedNegatives, NegLinkSamplerDest
-from ..engine.train import Engine as _SingleEngine, _wire_key
+from ..engine.train import (Engine as _SingleEngine, _wire_key,
+                            eval_neg_chunk_size)
 from ..utils.config import FrameworkConfig
 from . import mesh as mesh_lib
 from .sharded import _pad_rows
-
-
-def _stack_wires(pend):
-    wp_cls = type(pend[0])
-    return wp_cls(*((np.stack([getattr(w, f) for w in pend])
-                     if getattr(pend[0], f) is not None else None)
-                    for f in wp_cls._fields))
 
 
 class ShardedEngine:
@@ -93,6 +87,20 @@ class ShardedEngine:
         assert tr.max_intra_block is not None, (
             "ShardedEngine needs a fixed train.max_intra_block")
         self.mesh = mesh if mesh is not None else mesh_lib.make_mesh()
+        dp_n = self.mesh.shape["dp"]
+        # Wire leading dims must range-partition exactly: event-dim
+        # fields are sized batch_size (and 2*batch_size), root/uniq/COO
+        # dims are 16-divisible shape buckets (data/packer.py
+        # _bucket_pow2).  Padding instead would need per-field neutral
+        # fill values (e.g. a zero-padded mw plan would WRITE node-0
+        # mail), so reject bad configs up front.
+        assert tr.batch_size % dp_n == 0, (
+            f"train.batch_size ({tr.batch_size}) must be divisible by "
+            f"the mesh dp width ({dp_n}) — pick e.g. "
+            f"{-(-tr.batch_size // dp_n) * dp_n}")
+        assert dp_n <= 16 and (dp_n & (dp_n - 1)) == 0, (
+            f"dp width {dp_n} must be a power of two <= 16 (shape "
+            f"buckets are 16-divisible)")
         self.model_cfg = TGNNConfig(
             edge_feat_dim=data.msg_dim,
             hidden_dim=config.gnn.dim_out,
@@ -466,7 +474,7 @@ class ShardedEngine:
 
         def dispatch_group(pend, acc):
             self.dispatch_count += 1
-            w = self._place_wire(_stack_wires(pend), stacked=True)
+            w = self._place_wire(stack_wires(pend), stacked=True)
             self._rng, sk = jax.random.split(self._rng)
             if self.use_memory:
                 (self.params, self.opt_state, self.mem_state, acc,
@@ -546,7 +554,7 @@ class ShardedEngine:
             if len(pend) == 1:
                 return dispatch_chunk(pend[0], opt, pes, pend_masks[0])
             self.dispatch_count += 1
-            w = self._place_wire(_stack_wires(pend), stacked=True)
+            w = self._place_wire(stack_wires(pend), stacked=True)
             masks = (None if pend_masks[0] is None
                      else jax.device_put(np.stack(pend_masks), rep))
             if self.use_memory:
@@ -570,8 +578,7 @@ class ShardedEngine:
             if mask is not None:
                 mask2d = np.zeros((B, M), bool)
                 mask2d[:len(rows)] = mask
-            Mc = (self.config.train.eval_neg_chunk
-                  or max(1, min(M, 49152 // max(hi - lo, 1) - 2)))
+            Mc = eval_neg_chunk_size(self.config, M, hi - lo)
             n_chunks = -(-M // Mc)
             opt = jax.device_put(jnp.zeros(B, jnp.int32), rep)
             pes = jax.device_put(jnp.zeros(B, jnp.int32), rep)

@@ -133,41 +133,61 @@ class SuperBatchExchanger:
     def exchange(self, src, dst, t, ev_idx, neg) -> None:
         """Called once per super-batch with THIS host's consumed range
         (already packed + inserted locally); empty arrays for an idle
-        tail host."""
+        tail host.
+
+        Clock and mail-pointer updates go through an explicit
+        read-modify-WRITE-BACK cycle: the native C++ packer
+        (data/native_packer.py) exposes ``clock``/``mail_ptr`` as
+        properties returning COPIES of its internal state, so in-place
+        mutation of those views would be silently lost (both packer
+        implementations are exercised by tests/test_multihost.py)."""
         parts = self.allgather(_encode(src, dst, t, ev_idx, neg))
         assert len(parts) == self.n_hosts, (
             f"expected {self.n_hosts} ranges, got {len(parts)}")
         decoded = [_decode(p) for p in parts]
-        # 1. cache inserts + mail-ring advance for REMOTE ranges (both
-        #    commute across ranges: insert is last-K-by-e_id over
-        #    distinct e_ids; ring advance is per-node modular count)
+        # 1. cache inserts for REMOTE ranges (insert commutes across
+        #    ranges: last-K-by-e_id over distinct e_ids is order-free)
         for h, (r_src, r_dst, r_t, r_idx, _r_neg) in enumerate(decoded):
             if h == self.host or len(r_src) == 0:
                 continue
             self.packer.insert(r_src, r_dst, r_t,
                                e_id=np.asarray(r_idx, np.int64))
-            self._advance_mail(r_src, r_dst)
-        # 2. clocks: strict stream order, ALL ranges (own included —
-        #    idempotent), per-block n→p→s writes (data/packer.py pass 2)
+        # 2. mail-ring advance (remote) + clock replay (ALL ranges in
+        #    strict stream order, own included — idempotent re-write
+        #    restores serial ordering) on local copies, then write back
+        clock = np.array(self.packer.clock, np.float32)
+        mail_ptr = np.array(self.packer.mail_ptr, np.int64)
+        for h, (r_src, r_dst, _r_t, _r_idx, _r_neg) in enumerate(decoded):
+            if h != self.host and len(r_src):
+                self._advance_mail(mail_ptr, r_src, r_dst)
         for r_src, r_dst, r_t, _r_idx, r_neg in decoded:
             if len(r_src):
-                self._replay_clocks(r_src, r_dst, r_t, r_neg)
+                self._replay_clocks(clock, r_src, r_dst, r_t, r_neg)
+        self._write_state(clock, mail_ptr)
 
-    def _advance_mail(self, src, dst) -> None:
+    def _write_state(self, clock, mail_ptr) -> None:
         p = self.packer
-        S = p.cfg.mailbox_size if hasattr(p, "cfg") else 1
+        if hasattr(p, "load_state"):          # native packer
+            p.load_state(p.cache_nbr, p.cache_eid, p.cache_t, clock,
+                         p.cur_e_id, mail_ptr)
+        else:                                 # numpy packer
+            p.clock = clock
+            p.mail_ptr = mail_ptr
+
+    def _advance_mail(self, mail_ptr, src, dst) -> None:
+        S = self.packer.cfg.mailbox_size \
+            if hasattr(self.packer, "cfg") else 1
         nodes = np.concatenate([src, dst]).astype(np.int64)
         uniq, counts = np.unique(nodes, return_counts=True)
         kept = np.minimum(counts, S)
-        p.mail_ptr[uniq] = (p.mail_ptr[uniq] + kept) % S
+        mail_ptr[uniq] = (mail_ptr[uniq] + kept) % S
 
-    def _replay_clocks(self, src, dst, t, neg2d) -> None:
+    def _replay_clocks(self, clock, src, dst, t, neg2d) -> None:
         """Re-derive the serial clock: per dependency block (recomputed
         deterministically — the range is one batch, so get_block matches
         what the owning host packed with), write n → p → s."""
         from ..data.dependency import get_block
 
-        clock = self.packer.clock
         blocks = get_block(src, dst)
         M = neg2d.shape[1]
         for i in range(int(blocks.max()) + 1):
@@ -194,6 +214,100 @@ def multihost_allgather(payload: np.ndarray) -> Sequence[np.ndarray]:
     local[:len(payload)] = payload
     gathered = multihost_utils.process_allgather(local, tiled=False)
     return [np.asarray(gathered[h])[:int(lens[h])] for h in range(n)]
+
+
+def offset_wire_for_host(wire, host: int, n_hosts: int):
+    """Rebase a host's full WirePack so that n_hosts per-host wires
+    CONCATENATE into one valid global wire of a super-batch:
+
+      * root-slot indices (ev_src/pos/neg_slot) shift by host*R;
+      * uniq-table indices (root_loc, cache_loc, ia_loc) shift by
+        host*Ub — padded locs keep pointing at the host's own trash
+        entry, whose VALUE is num_nodes, so expansion stays safe;
+      * intra-COO padding rows (ia_row == R, the scatter trash row)
+        remap to the GLOBAL trash row n_hosts*R — a plain shift would
+        alias the next host's row 0.
+
+    The composed wire describes n_hosts batches as ONE batch of
+    n_hosts*B events whose dependency grids are disjoint row ranges —
+    the device step (expand + attention + BCE/Adam) then trains on the
+    whole super-batch in one SPMD program, each host's range living on
+    its own dp shard.  Frozen-memory semantics only: concatenated wires
+    may repeat (node, slot) mailbox writes across hosts (each host
+    planned slots against the super-batch-start ring pointers), so the
+    mailbox write plan of a composed wire must not be committed; the
+    memory-enabled multi-host path needs cross-host write reconciliation
+    (documented future work)."""
+    import numpy as np
+
+    R = wire.root_loc.shape[0]
+    Ub = wire.uniq_nid.shape[0]
+    h = host
+
+    def slot(a):
+        return (np.asarray(a, np.int64) + h * R).astype(np.int32)
+
+    def loc(a):
+        return (np.asarray(a, np.int64) + h * Ub).astype(np.int32)
+
+    ia_row = np.asarray(wire.ia_row, np.int64)
+    ia_row = np.where(ia_row == R, n_hosts * R, ia_row + h * R)
+    return wire._replace(
+        ev_src_slot=slot(wire.ev_src_slot),
+        ev_pos_slot=slot(wire.ev_pos_slot),
+        ev_neg_slot=slot(wire.ev_neg_slot),
+        root_loc=loc(wire.root_loc),
+        cache_loc=loc(wire.cache_loc),
+        ia_loc=loc(wire.ia_loc),
+        ia_row=ia_row.astype(np.int32),
+    )
+
+
+def pad_wire_ei(wire, Ei: int):
+    """Pad a WirePack's intra-COO fields to a common Ei bucket (trash
+    fill: ia_row=R scatters into the expansion's trash row).  Hosts'
+    nnz-dependent Ei buckets can differ; SPMD composition needs every
+    host's local wire shapes equal."""
+    import numpy as np
+
+    cur = wire.ia_row.shape[0]
+    if cur == Ei:
+        return wire
+    assert cur < Ei
+    R = wire.root_loc.shape[0]
+    pad = Ei - cur
+
+    def ext(a, fill, dtype=None):
+        a = np.asarray(a)
+        return np.concatenate(
+            [a, np.full(pad, fill, dtype or a.dtype)])
+
+    kw = dict(ia_row=ext(wire.ia_row, R), ia_col=ext(wire.ia_col, 0),
+              ia_loc=ext(wire.ia_loc, 0), ia_feat=ext(wire.ia_feat, 0),
+              ia_dt=ext(wire.ia_dt, 0.0))
+    if wire.ia_rslot is not None:
+        kw["ia_rslot"] = ext(wire.ia_rslot, -1)
+    return wire._replace(**kw)
+
+
+def align_wires(wires):
+    """Equalize nnz-dependent Ei buckets across hosts' wires."""
+    Ei = max(w.ia_row.shape[0] for w in wires)
+    return [pad_wire_ei(w, Ei) for w in wires]
+
+
+def concat_offset_wires(wires):
+    """Compose per-host WirePacks into the global super-batch wire
+    (host-side; the multi-process equivalent feeds each host's
+    offset wire to make_process_global_wire instead)."""
+    n = len(wires)
+    wires = align_wires(wires)
+    off = [offset_wire_for_host(w, h, n) for h, w in enumerate(wires)]
+    cls = type(off[0])
+    return cls(*[(None if getattr(off[0], f) is None
+                  else np.concatenate([np.asarray(getattr(w, f))
+                                       for w in off]))
+                 for f in cls._fields])
 
 
 def make_process_global_wire(mesh, wire, stacked: bool = False):

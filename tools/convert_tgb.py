@@ -81,10 +81,8 @@ def convert(name: str, root: str, out: str) -> None:
                   f"array — use train.eval_neg_mode='pad_mask'")
         arrays[f"{split}_ns"] = arr
 
-    kw = {}
-    if any(a.dtype == object for a in arrays.values()
-           if isinstance(a, np.ndarray)):
-        kw["allow_pickle"] = True
+    # (object arrays — ragged negative sets — pickle automatically on
+    # save; only np.load needs allow_pickle, handled by data/dataset.py)
     np.savez_compressed(out, **arrays)
     print(f"wrote {out}: E={len(src)} N={max(src.max(), dst.max()) + 1} "
           f"F={msg.shape[1]} val={val_mask.sum()} test={test_mask.sum()}")
