@@ -102,6 +102,39 @@ def main():
             "platform": platform, "virtual": bool(virtual),
         }))
 
+    # ---- epoch-level sweep: the ShardedEngine driver (fused dispatch,
+    # CompactWire, on-device eval accumulation) over the same meshes ----
+    from tgb_tgn_dgl_tpu.data.dataset import synthetic
+    from tgb_tgn_dgl_tpu.parallel.engine import ShardedEngine
+    from tgb_tgn_dgl_tpu.utils.config import parse_config_dict
+
+    edata = synthetic("bench-scaling", num_edges=8192, num_nodes=512,
+                      msg_dim=16, num_neg=8, seed=4)
+    for dp, state in shapes:
+        config = parse_config_dict({
+            "sampling": [{"neighbor": [10]}],
+            "memory": [{"dim_out": 64, "dim_time": 64}],
+            "gnn": [{"dim_out": 64, "att_head": 4, "dim_time": 64}],
+            "train": [{"batch_size": 512, "lr": 1e-3,
+                       "frozen_memory": False, "fuse_steps": 4}],
+        })
+        eng = ShardedEngine(edata, config,
+                            mesh=mesh_lib.make_mesh(dp * state, dp=dp,
+                                                    state=state))
+        eng.warm_buckets()
+        eng.train_epoch()                       # compile + warm
+        eng.dispatch_count = 0
+        t0 = time.perf_counter()
+        stats = eng.train_epoch()
+        secs = time.perf_counter() - t0
+        print(json.dumps({
+            "engine_epoch": True, "devices": dp * state, "dp": dp,
+            "state": state, "epoch_s": round(secs, 3),
+            "events_per_s": round(stats["events"] / secs, 1),
+            "dispatches": eng.dispatch_count,
+            "platform": platform, "virtual": bool(virtual),
+        }))
+
 
 if __name__ == "__main__":
     main()
