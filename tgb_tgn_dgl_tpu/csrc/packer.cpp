@@ -926,8 +926,12 @@ void packer_pack_fill_wire3(
     int64_t ur_bucket, int32_t* cr_loc, int32_t* cr_feat,
     // Δt outputs: cache (R, K), self (R,), intra prefix list (Ei,)
     float* cache_dt, float* self_dt, int64_t ei_bucket, float* ia_dt,
-    // intra ranges: ne_pos (2B,), lo/cnt/start (R,)
-    int32_t* ne_pos, int32_t* intra_lo, int32_t* intra_cnt,
+    // intra entries: ne_ent (2B, 2) = [partner uniq-loc, global event
+    // row] per node-major event entry — shipping both directly lets the
+    // device expansion do ONE row gather instead of an element gather
+    // plus a packed (R, P, 4) event-table gather (profiler, BASELINE.md);
+    // lo/cnt/start (R,)
+    int32_t* ne_ent, int32_t* intra_lo, int32_t* intra_cnt,
     int32_t* intra_start,
     // mailbox plan, slots only (2B,), -1 = no write
     int32_t* mw_slot) {
@@ -994,8 +998,15 @@ void packer_pack_fill_wire3(
   }
   std::memset(cache_dt, 0, sizeof(float) * r_bucket * K);
   for (int64_t i = 0; i < ei_bucket; ++i) ia_dt[i] = 0.0f;
-  for (int64_t i = 0; i < 2 * b_bucket; ++i)
-    ne_pos[i] = i < (int64_t)pb.run_pos.size() ? (int32_t)pb.run_pos[i] : 0;
+  for (int64_t i = 0; i < 2 * b_bucket; ++i) {
+    if (i < (int64_t)pb.run_pos.size()) {
+      ne_ent[2 * i] = p->loc_of[pb.run_partner[i]];
+      ne_ent[2 * i + 1] = (int32_t)pb.ev_idx[pb.run_pos[i]];
+    } else {
+      ne_ent[2 * i] = 0;
+      ne_ent[2 * i + 1] = 0;
+    }
+  }
 
   // --- per-block clock advance + Δt emission ----------------------------
   int64_t dt_cursor = 0;

@@ -455,7 +455,7 @@ class NativeStreamPacker:
         cache_dt = np.empty((R, K), np.float32)
         self_dt = np.empty(R, np.float32)
         ia_dt = np.empty(Ei, np.float32)
-        ne_pos = np.empty(2 * B, np.int32)
+        ne_ent = np.empty((2 * B, 2), np.int32)
         intra_lo = np.empty(R, np.int32)
         intra_cnt = np.empty(R, np.int32)
         intra_start = np.empty(R, np.int32)
@@ -469,7 +469,7 @@ class NativeStreamPacker:
             root_loc, root_cr,
             Ur, cr_loc, cr_feat,
             cache_dt, self_dt, Ei, ia_dt,
-            ne_pos, intra_lo, intra_cnt, intra_start,
+            ne_ent, intra_lo, intra_cnt, intra_start,
             mw_slot)
 
         N = self.N
@@ -503,7 +503,7 @@ class NativeStreamPacker:
             cr_feat=cr_feat,
             cache_dt=cache_dt,
             self_dt=self_dt,
-            ne_pos=enc(ne_pos, B - 1),
+            ne_ent=ne_ent,
             intra_lo=enc(intra_lo, 2 * B - 1),
             intra_cnt=intra_cnt.astype(np.uint8),
             intra_start=enc(intra_start, Ei - 1),

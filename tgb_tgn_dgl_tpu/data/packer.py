@@ -617,7 +617,7 @@ class StreamPacker:
         M = neg2d.shape[1]
         k = int(blocks.max()) + 1
 
-        # --- per-node event runs: node-major positions (= ne_pos) -----
+        # --- per-node event runs: node-major entries (-> ne_ent) -----
         nodes2 = np.concatenate([src, dst]).astype(np.int64)
         pos2 = np.concatenate(
             [np.arange(Braw), np.arange(Braw)]).astype(np.int64)
@@ -798,8 +798,14 @@ class StreamPacker:
         neg_pad[:Braw] = neg2d
         neg_slot_pad = np.zeros((B, M), np.int64)
         neg_slot_pad[:Braw] = ev_neg_slot
-        ne_pos = np.zeros(2 * B, np.int64)
-        ne_pos[:2 * Braw] = s_pos2
+        # node-major entry table: [partner uniq-loc, global event row].
+        # The partner of entry (node u, event e) is e's other endpoint;
+        # every intra partner had an event, so it is a root and in uniq.
+        ne_ent = np.zeros((2 * B, 2), np.int64)
+        s_partner = np.where(s_nodes2 == src[s_pos2].astype(np.int64),
+                             dst[s_pos2], src[s_pos2])
+        ne_ent[:2 * Braw, 0] = np.searchsorted(uniq, s_partner)
+        ne_ent[:2 * Braw, 1] = ev_idx[s_pos2]
         intra_lo = np.zeros(R, np.int64)
         intra_lo[:total_roots] = intra_lo_all
         intra_cnt = np.zeros(R, np.int64)
@@ -830,7 +836,7 @@ class StreamPacker:
             cr_feat=cr_feat.astype(np.int32),
             cache_dt=cache_dt,
             self_dt=self_dt,
-            ne_pos=enc(ne_pos, B - 1),
+            ne_ent=ne_ent.astype(np.int32),
             intra_lo=enc(intra_lo, 2 * B - 1),
             intra_cnt=intra_cnt.astype(np.uint8),
             intra_start=enc(intra_start, Ei - 1),

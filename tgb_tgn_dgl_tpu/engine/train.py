@@ -30,6 +30,7 @@ from ..data.dependency import dependency_aware_batch
 from ..data.native_packer import make_stream_packer
 from ..data.packer import DevicePack, Pack, PackerConfig, StreamPacker
 from ..models.factory import arch_embed, arch_predict, init_arch_params
+from ..models.init import derive_key
 from ..models.memory import (MemoryModelConfig, apply_mail, commit,
                              init_memory_params, init_memory_state)
 from ..models.tgnn import (TGNNConfig, bce_loss, init_tgnn, tgnn_embed,
@@ -38,8 +39,8 @@ from ..models.variants import (EagerMemoryConfig, dyrep_messages,
                                eager_apply_mail, eager_commit,
                                init_eager_memory_params,
                                init_eager_memory_state)
-from ..ops.wire import (compact_wire, expand_any, expand_wire,
-                        pack_to_wire, stack_wires)
+from ..ops.wire import (BlobWire, blob_stack, compact_wire, expand_any,
+                        expand_wire, pack_to_wire, stack_wires, unblob_one)
 from ..utils.config import FrameworkConfig
 from .checkpoint import (EarlyStopMonitor, load_pytree, rng_state_from_array,
                          rng_state_to_array, save_pytree)
@@ -202,6 +203,9 @@ class Engine:
         self._wire_dedup = (bool(tr.wire_dedup) and not self.device_cache
                             and config.sampling.strategy == "recent"
                             and config.gnn.layer == 1)
+        # Fused groups ship as 3 blob arrays (ops/wire.BlobWire): the
+        # tunneled H2D path charges a large fixed cost PER ARRAY.
+        self._wire_blob = bool(tr.wire_blob) and not self.device_cache
         self._rslot = config.gnn.layer > 1
         # Arch selection (gnn.arch knob): 'transformer_attention' (TGNN),
         # 'identity' (JODIE), 'dyrep' (models/factory.py).  JODIE/DyRep
@@ -214,6 +218,10 @@ class Engine:
             self.use_memory = True
         else:
             self.use_memory = config.memory.enabled and not tr.frozen_memory
+        if not self.use_memory:
+            # reference-parity frozen path: memory ≡ ones forever, so the
+            # embedding can skip the memory gathers (TGNNConfig docstring)
+            self.model_cfg = self.model_cfg._replace(const_ones_memory=True)
         # DyRep messages embed the event partner -> eager mail storage
         self.eager_memory = self.arch == "dyrep"
         key = jax.random.PRNGKey(tr.seed)
@@ -277,6 +285,15 @@ class Engine:
         # impl ('rbg' = TPU hardware RNG; see TrainConfig.rng_impl).
         self._rng_impl = tr.rng_impl
         self._rng = jax.random.key(tr.seed + 1, impl=tr.rng_impl)
+        # Host-side key schedule: per-step keys are derived in NUMPY as
+        # base_key_data + 64·step·C (models/init.derive_key contract) —
+        # no per-batch jax.random.split (each split was a tiny tunneled
+        # device dispatch AND a ~60-instruction threefry chain inside the
+        # fused program).  Fused groups receive the key of their FIRST
+        # step and derive member i's key as +64·i, so fused and
+        # per-batch dispatch produce identical streams.
+        self._base_kd = np.asarray(jax.random.key_data(self._rng))
+        self._rng_step = 0
         self._step = 0
         self._epoch = 0   # completed-epoch cursor (checkpoint/resume)
         self._rows: Dict[str, np.ndarray] = {
@@ -289,12 +306,34 @@ class Engine:
         # device dispatches issued (train steps, eval fwd/score/finalize)
         # — the binding cost on remote backends (BASELINE.md perf model)
         self.dispatch_count = 0
+        self._rebuild_steps()
+        self._builders_ready = True
+
+    def _rebuild_steps(self) -> None:
+        tr = self.config.train
         self._train_step = self._build_train_step()
         self._fused_train_step = (self._build_fused_train_step()
                                   if tr.fuse_steps > 1 else None)
         self._eval_fwd = self._build_eval_forward()
         self._fused_eval_step = (self._build_fused_eval_step()
                                  if tr.fuse_steps > 1 else None)
+
+    @property
+    def memory(self):
+        """Frozen node-memory table (reference all-ones quirk,
+        model_utils.py:270-271).  Assigning a custom table (tests/
+        ablations do) drops the const-ones embedding fast path and
+        rebuilds the jitted steps so the table is actually read."""
+        return self._frozen_memory
+
+    @memory.setter
+    def memory(self, value):
+        self._frozen_memory = value
+        if getattr(self, "_builders_ready", False) and \
+                self.model_cfg.const_ones_memory:
+            self.model_cfg = self.model_cfg._replace(
+                const_ones_memory=False)
+            self._rebuild_steps()
 
     # ------------------------------------------------------------ builders
     # The device steps take a compact WirePack and rebuild the padded
@@ -434,22 +473,68 @@ class Engine:
         if self.device_cache:
             return self._build_lean_fused_train_step()
         body = self._train_step_raw
+        unroll = self.config.train.fuse_unroll
+
+        # ``wires`` is either a stacked wire NamedTuple (leading G) or a
+        # BlobWire (train.wire_blob); ``statics`` is intra_width alone or
+        # (intra_width, blob layout).  expand_any extracts intra_width
+        # from either form, so the body takes ``statics`` verbatim.
+        def group_view(wires, statics):
+            if isinstance(wires, BlobWire):
+                _, layout = statics
+                G = wires.b32.shape[0]
+                return G, (lambda i: unblob_one(wires.b32[i], wires.b16[i],
+                                                wires.b8[i], layout))
+            G = wires[0].shape[0] if wires[0] is not None \
+                else wires.ev_src.shape[0]
+            return G, (lambda i: jax.tree.map(lambda a: a[i], wires))
+
+        def scan_view(wires, statics):
+            """(xs, per-iteration wire constructor) for lax.scan."""
+            if isinstance(wires, BlobWire):
+                _, layout = statics
+                return wires, (lambda xs: unblob_one(xs.b32, xs.b16,
+                                                     xs.b8, layout))
+            return wires, (lambda xs: xs)
 
         if self.use_memory:
             def fused(params, opt_state, mem_state, tables, wires, rng, acc,
                       intra_width):
-                def scan_body(carry, wire):
-                    params, opt_state, mem_state, acc, rng = carry
-                    rng, sk = jax.random.split(rng)
+                if unroll:
+                    # Straight-line code: inside a lax.scan (= XLA while
+                    # loop) the broadcast-cos/gather chains refuse to fuse
+                    # into the attention matmuls and (R, Kp, D)
+                    # intermediates materialize per iteration (same
+                    # pathology as _build_lean_fused_train_step).  G is
+                    # static, so a Python loop over the stacked wire emits
+                    # one big fusable program.
+                    loss = None
+                    G, getw = group_view(wires, intra_width)
+                    for i in range(G):
+                        wire = getw(i)
+                        sk = derive_key(rng, 64 * i)
+                        (params, opt_state, mem_state, loss, _p, _n,
+                         acc) = body(params, opt_state, mem_state, tables,
+                                     wire, sk, acc, intra_width)
+                    return params, opt_state, mem_state, acc, loss
+
+                xs_w, mkwire = scan_view(wires, intra_width)
+                G, _ = group_view(wires, intra_width)
+
+                def scan_body(carry, xs):
+                    wx, idx = xs
+                    wire = mkwire(wx)
+                    params, opt_state, mem_state, acc = carry
+                    sk = derive_key(rng, 64 * idx)
                     params, opt_state, mem_state, loss, _p, _n, acc = body(
                         params, opt_state, mem_state, tables, wire, sk, acc,
                         intra_width)
-                    return (params, opt_state, mem_state, acc, rng), loss
+                    return (params, opt_state, mem_state, acc), loss
 
-                (params, opt_state, mem_state, acc, _), losses = \
+                (params, opt_state, mem_state, acc), losses = \
                     jax.lax.scan(
-                        scan_body, (params, opt_state, mem_state, acc, rng),
-                        wires)
+                        scan_body, (params, opt_state, mem_state, acc),
+                        (xs_w, jnp.arange(G)))
                 # losses[-1] is the (undonated) completion handle
                 return params, opt_state, mem_state, acc, losses[-1]
 
@@ -460,16 +545,33 @@ class Engine:
 
         def fused(params, opt_state, memory, tables, wires, rng, acc,
                   intra_width):
-            def scan_body(carry, wire):
-                params, opt_state, acc, rng = carry
-                rng, sk = jax.random.split(rng)
+            if unroll:
+                loss = None
+                G, getw = group_view(wires, intra_width)
+                for i in range(G):
+                    wire = getw(i)
+                    sk = derive_key(rng, 64 * i)
+                    params, opt_state, loss, _p, _n, acc = body(
+                        params, opt_state, memory, tables, wire, sk, acc,
+                        intra_width)
+                return params, opt_state, acc, loss
+
+            xs_w, mkwire = scan_view(wires, intra_width)
+            G, _ = group_view(wires, intra_width)
+
+            def scan_body(carry, xs):
+                wx, idx = xs
+                wire = mkwire(wx)
+                params, opt_state, acc = carry
+                sk = derive_key(rng, 64 * idx)
                 params, opt_state, loss, _p, _n, acc = body(
                     params, opt_state, memory, tables, wire, sk, acc,
                     intra_width)
-                return (params, opt_state, acc, rng), loss
+                return (params, opt_state, acc), loss
 
-            (params, opt_state, acc, _), losses = jax.lax.scan(
-                scan_body, (params, opt_state, acc, rng), wires)
+            (params, opt_state, acc), losses = jax.lax.scan(
+                scan_body, (params, opt_state, acc),
+                (xs_w, jnp.arange(G)))
             return params, opt_state, acc, losses[-1]
 
         if self._jit:
@@ -615,7 +717,7 @@ class Engine:
                 loss = None
                 for i in range(G):
                     wire = jax.tree.map(lambda a: a[i], wires)
-                    rng, sk = jax.random.split(rng)
+                    sk = derive_key(rng, 64 * i)
                     (params, opt_state, mem_state, sstate, loss, _p, _n,
                      acc) = body(params, opt_state, mem_state, sstate,
                                  feats, wire, sk, acc, intra_width)
@@ -632,7 +734,7 @@ class Engine:
             loss = None
             for i in range(G):
                 wire = jax.tree.map(lambda a: a[i], wires)
-                rng, sk = jax.random.split(rng)
+                sk = derive_key(rng, 64 * i)
                 params, opt_state, sstate, loss, _p, _n, acc = body(
                     params, opt_state, memory, sstate, feats, wire, sk,
                     acc, intra_width)
@@ -1020,6 +1122,16 @@ class Engine:
                           self.config.memory.mailbox_size)
         return wire if cw is None else cw
 
+    def _host_key(self, step: int):
+        """Typed per-step dropout key computed on the HOST (numpy) —
+        see the schedule note in __init__.  Stride 64 leaves offsets
+        1..63 for model-local subkeys (models/init.derive_key)."""
+        from ..models.init import _DERIVE_C
+        c = _DERIVE_C[: self._base_kd.shape[-1]]
+        kd = self._base_kd + np.uint32((64 * step) & 0xFFFFFFFF) * c
+        return jax.random.wrap_key_data(jnp.asarray(kd),
+                                        impl=self._rng_impl)
+
     def train_epoch(self) -> "EpochStats":
         d = self.data
         self.packer.reset_cache()
@@ -1043,7 +1155,7 @@ class Engine:
         # phase accounting (TGB_TGN_EPOCH_TRACE=1 prints the breakdown):
         # pack = host packer+compact, wait = throttle backpressure,
         # drain = end-of-epoch queue drain + metric D2H
-        tm = {"pack": 0.0, "wait": 0.0, "disp": 0.0}
+        tm = {"pack": 0.0, "wait": 0.0, "disp": 0.0, "stack": 0.0}
         t_epoch0 = time.perf_counter()
         sanity = self.config.train.sanity_batches
         inflight = []  # completion throttle (train.max_inflight_batches)
@@ -1062,7 +1174,8 @@ class Engine:
 
         def dispatch_one(wire, iw, acc):
             self.dispatch_count += 1
-            self._rng, sk = jax.random.split(self._rng)
+            sk = self._host_key(self._rng_step)
+            self._rng_step += 1
             if lean and self.use_memory:
                 (self.params, self.opt_state, self.mem_state, self.sstate,
                  loss, _pos, _neg, acc) = self._train_step(
@@ -1088,8 +1201,15 @@ class Engine:
 
         def dispatch_group(wires_list, iw, acc):
             self.dispatch_count += 1
-            stacked = stack_wires(wires_list)
-            self._rng, sk = jax.random.split(self._rng)
+            t0 = time.perf_counter()
+            if self._wire_blob:
+                stacked, layout = blob_stack(wires_list)
+                iw = (iw, layout)
+            else:
+                stacked = stack_wires(wires_list)
+            tm["stack"] += time.perf_counter() - t0
+            sk = self._host_key(self._rng_step)
+            self._rng_step += len(wires_list)
             if lean and self.use_memory:
                 (self.params, self.opt_state, self.mem_state, self.sstate,
                  acc, handle) = self._fused_train_step(
@@ -1162,11 +1282,12 @@ class Engine:
         self.last_epoch_trace = {
             "total_s": time.perf_counter() - t_epoch0,
             "pack_s": tm["pack"], "disp_s": tm["disp"],
-            "wait_s": tm["wait"], "batches": nb,
+            "wait_s": tm["wait"], "stack_s": tm["stack"], "batches": nb,
         }
         if _EPOCH_TRACE:
             print(f"[epoch-trace] total={self.last_epoch_trace['total_s']:.3f}s "
                   f"pack={tm['pack']:.3f}s disp={tm['disp']:.3f}s "
+                  f"(stack={tm['stack']:.3f}s) "
                   f"wait={tm['wait']:.3f}s batches={nb} "
                   f"(stats fetch deferred)", flush=True)
         return stats
@@ -1428,6 +1549,7 @@ class Engine:
             "opt_state": self.opt_state,
             # typed keys serialize as their raw data (impl is config)
             "rng": jax.random.key_data(self._rng),
+            "rng_step": np.int64(self._rng_step),
             "neg_rng": rng_state_to_array(self.neg_sampler.rng),
             "step": np.int64(self._step),
             "epoch": np.int64(self._epoch),
@@ -1459,6 +1581,8 @@ class Engine:
         self.opt_state = jax.tree.map(jnp.asarray, st["opt_state"])
         self._rng = jax.random.wrap_key_data(jnp.asarray(st["rng"]),
                                              impl=self._rng_impl)
+        self._base_kd = np.asarray(st["rng"])
+        self._rng_step = int(st.get("rng_step", 0))
         self.neg_sampler.rng = rng_state_from_array(st["neg_rng"])
         self._step = int(st["step"])
         self._epoch = int(st["epoch"])

@@ -11,6 +11,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 RELU_GAIN = math.sqrt(2.0)
 
@@ -71,3 +72,32 @@ def dropout(key, x, rate, deterministic):
     keep = 1.0 - rate
     mask = jax.random.bernoulli(key, keep, x.shape)
     return jnp.where(mask, x / keep, 0.0)
+
+
+# Per-lane odd constants (golden-ratio / sqrt-fraction style) for cheap
+# additive key derivation.  Four lanes cover the widest key layout (rbg);
+# threefry keys use the first two.
+_DERIVE_C = np.array([0x9E3779B9, 0xBB67AE85, 0x3C6EF372, 0xA54FF53A],
+                     dtype=np.uint32)
+
+
+def derive_key(key, i):
+    """Cheap per-consumer subkey: ``key_data + i · C`` — ONE u32 vector
+    add instead of a threefry ``fold_in``/``split`` chain (~60 scalar HLO
+    instructions each; the per-batch train step spends ~40% of its
+    instructions on those chains, BASELINE.md perf model).
+
+    Statistically sound for mask generation under both impls: the
+    generator (threefry, or the TPU hardware rbg path) hashes the key at
+    DRAW time, so additively-distinct keys give independent streams —
+    dropout masks don't need the adversarial key separation ``fold_in``
+    provides.  Distinctness contract: every (key, i) pair reachable in
+    one program must have a globally unique flattened index — the engine
+    strides its per-step indices by 64 and model code keeps its local
+    offsets < 64 (tgnn_embed uses 8·layer + q, q ≤ 5).
+
+    ``i`` may be a Python int or a traced scalar."""
+    kd = jax.random.key_data(key)
+    c = jnp.asarray(_DERIVE_C[: kd.shape[-1]])
+    return jax.random.wrap_key_data(kd + jnp.uint32(i) * c,
+                                    impl=jax.random.key_impl(key))

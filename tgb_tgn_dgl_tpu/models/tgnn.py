@@ -43,8 +43,8 @@ import jax.numpy as jnp
 from ..data.packer import KIND_INTRA, KIND_CACHE, KIND_INVALID, KIND_SELF
 from ..ops.segment import masked_softmax
 from ..ops.time_encode import init_time_encode
-from .init import (apply_linear, dropout, linear_default, linear_xavier,
-                   xavier_normal)
+from .init import (apply_linear, derive_key, dropout, linear_default,
+                   linear_xavier, xavier_normal)
 
 
 class TGNNConfig(NamedTuple):
@@ -63,6 +63,12 @@ class TGNNConfig(NamedTuple):
     # and the sum, which the fused kernel folds together.
     use_pallas: bool = False
     pallas_interpret: bool = False
+    # The engine sets this on the reference-parity frozen-memory path
+    # (memory ≡ ones, model_utils.py:270-271): node features become
+    # literal ones with NO table gather.  Bit-exact vs gathering the
+    # all-ones table, and removes the two hottest gathers of the step
+    # (nbr_nid relabel + (R, Kp, D) memory gather — profiler, BASELINE.md).
+    const_ones_memory: bool = False
 
 
 def init_tgnn(key, cfg: TGNNConfig) -> Dict:
@@ -152,7 +158,6 @@ def tgnn_embed(
     cdt = cfg.compute_dtype
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    k_nf, k_ef, k_attn = jax.random.split(rng, 3)
     det = not train
 
     kind = pack.nbr_kind                       # (R, Kp) int8
@@ -180,9 +185,14 @@ def tgnn_embed(
 
     # ---- node features (memory rows; table cast before gather) ---------
     mem_c = memory.astype(cdt)
+    R, Kp = kind.shape
     if local:
         nf_src = mem_c[pack.nbr_loc]                # (R, Kp, D)
         nf_dst = mem_c[pack.root_loc]               # (R, D)
+    elif cfg.const_ones_memory:
+        # frozen all-ones memory: skip the gathers entirely (exact)
+        nf_src = jnp.ones((R, Kp, D), cdt)
+        nf_dst = jnp.ones((R, D), cdt)
     else:
         nf_src = mem_c[pack.nbr_nid]                # (R, Kp, D)
         nf_dst = mem_c[pack.root_nid]               # (R, D)
@@ -240,9 +250,15 @@ def tgnn_embed(
                          "(set PackerConfig.layers accordingly)")
     embed = None
     for l in range(L):
-        kl = rng if l == 0 else jax.random.fold_in(rng, l)
-        k_nf, k_ef, k_attn = (
-            (k_nf, k_ef, k_attn) if l == 0 else jax.random.split(kl, 3))
+        # per-layer dropout keys by cheap additive derivation (one u32
+        # add each — see models/init.derive_key); local offsets stay
+        # below the engine's per-step stride of 64
+        o = 8 * l
+        k_nf = derive_key(rng, o + 1)
+        k_nf2 = derive_key(rng, o + 2)
+        k_ef = derive_key(rng, o + 3)
+        k_ef2 = derive_key(rng, o + 4)
+        k_attn = derive_key(rng, o + 5)
         if l == 0:
             src_in, dst_in = nf_src, nf_dst
             gat = params["gat"]
@@ -256,11 +272,9 @@ def tgnn_embed(
             dst_in = embed
             gat = params[f"gat{l + 1}"]
         src_d = dropout(k_nf, src_in, cfg.feat_drop, det)
-        dst_d = dropout(jax.random.fold_in(k_nf, 1), dst_in,
-                        cfg.feat_drop, det)
+        dst_d = dropout(k_nf2, dst_in, cfg.feat_drop, det)
         ef_d = dropout(k_ef, ef, cfg.feat_drop, det)
-        te_d = dropout(jax.random.fold_in(k_ef, 1), te,
-                       cfg.feat_drop, det)
+        te_d = dropout(k_ef2, te, cfg.feat_drop, det)
         embed = gat_layer(gat, src_d, dst_d, ef_d, te_d, k_attn)
     return embed.astype(jnp.float32)
 

@@ -72,6 +72,91 @@ def stack_wires(wires):
                     for f in wp_cls._fields))
 
 
+class BlobWire(NamedTuple):
+    """A stacked wire group flattened into THREE dtype-class blobs.
+
+    The tunneled H2D path charges a large FIXED cost per transferred
+    ARRAY (measured: 21 per-field puts of one 5.4 MB group = 1.1 s in a
+    degraded window vs 0.16 s for one blob of the same bytes), so the
+    engine ships each fused group as 3 arrays instead of ~21.  Blobs are
+    split by element width so the device side needs only same-width
+    bitcasts (i32→f32 is free) and pure slices — no relayout copies:
+
+      b32 — int32 view of every int32/float32 field
+      b16 — uint16 fields
+      b8  — uint8 / int8 / bool fields
+
+    ``blob_stack`` builds (BlobWire, layout); ``unblob_one`` slices batch
+    i's wire back out inside the jitted step.  The layout is a hashable
+    static (field, class, dtype, shape, offset) tuple — same shape bucket
+    ⇒ same layout ⇒ same compiled program."""
+
+    b32: jnp.ndarray   # (G, n32) int32
+    b16: jnp.ndarray   # (G, n16) uint16
+    b8: jnp.ndarray    # (G, n8) uint8
+
+
+_BLOB_KIND = {
+    np.dtype(np.float32): "32", np.dtype(np.int32): "32",
+    np.dtype(np.uint16): "16",
+    np.dtype(np.uint8): "8", np.dtype(np.int8): "8",
+    np.dtype(np.bool_): "8",
+}
+_WIRE_CLASSES = {}   # populated below, after all classes are defined
+
+
+def blob_stack(wires):
+    """Pack a list of same-shape wires into (BlobWire, layout)."""
+    w0 = wires[0]
+    G = len(wires)
+    entries = []
+    offs = {"32": 0, "16": 0, "8": 0}
+    for f in w0._fields:
+        a = getattr(w0, f)
+        if a is None:
+            entries.append((f, None, None, None, 0, 0))
+            continue
+        a = np.asarray(a)
+        kind = _BLOB_KIND[a.dtype]
+        entries.append((f, kind, a.dtype.str, a.shape, offs[kind], a.size))
+        offs[kind] += a.size
+    b32 = np.empty((G, offs["32"]), np.int32)
+    b16 = np.empty((G, offs["16"]), np.uint16)
+    b8 = np.empty((G, offs["8"]), np.uint8)
+    rows = {"32": b32, "16": b16, "8": b8}
+    for i, w in enumerate(wires):
+        for f, kind, dstr, shape, off, n in entries:
+            if kind is None:
+                continue
+            a = np.ascontiguousarray(getattr(w, f))
+            rows[kind][i, off:off + n] = a.view(
+                rows[kind].dtype).ravel()
+    layout = (type(w0).__name__, tuple(entries))
+    return BlobWire(b32=b32, b16=b16, b8=b8), layout
+
+
+def unblob_one(b32_row, b16_row, b8_row, layout):
+    """Reconstruct ONE batch's wire from blob rows (pure slices +
+    same-width bitcasts; runs inside the jitted step)."""
+    cls_name, entries = layout
+    rows = {"32": b32_row, "16": b16_row, "8": b8_row}
+    vals = []
+    for f, kind, dstr, shape, off, n in entries:
+        if kind is None:
+            vals.append(None)
+            continue
+        seg = jax.lax.slice(rows[kind], (off,), (off + n,))
+        dt = np.dtype(dstr)
+        if dt == np.float32:
+            seg = jax.lax.bitcast_convert_type(seg, jnp.float32)
+        elif dt == np.int8:
+            seg = jax.lax.bitcast_convert_type(seg, jnp.int8)
+        elif dt == np.bool_:
+            seg = seg != 0
+        vals.append(seg.reshape(shape))
+    return _WIRE_CLASSES[cls_name](*vals)
+
+
 def pack_to_wire(pack: Pack, num_neighbors: int) -> WirePack:
     """Host-side compaction of a full Pack (numpy)."""
     K = num_neighbors
@@ -326,12 +411,16 @@ class DedupWire(NamedTuple):
         unique root node (``cr_loc``/``cr_feat``, (Ur, K)) plus a
         slot→row map (``root_cr``).
       * The intra-batch in-edges of a root slot are a CONTIGUOUS window
-        of its node's event positions (data/packer.py pass-1 runs), so
+        of its node's event entries (data/packer.py pass-1 runs), so
         the COO collapses to per-slot (lo, cnt) ranges into one
-        node-major position list (``ne_pos``); partner identity and
-        feature rows are re-derived on device from the event arrays,
-        and the Δt values ship as one prefix-layout list (``ia_dt``,
-        indexed by ``intra_start``).
+        node-major entry table (``ne_ent``, (2B, 2) int32 =
+        [partner uniq-loc, global event row]); the Δt values ship as
+        one prefix-layout list (``ia_dt``, indexed by ``intra_start``).
+        Shipping partner/eid per entry (vs re-deriving them on device
+        from the event arrays) turns the intra expansion into ONE row
+        gather — the re-derivation cost an element gather plus a packed
+        (R, P, 4) event-table gather and compare/select chains, together
+        the hottest ops of the profiled step (BASELINE.md).
 
     Δt values ship precomputed (cache_dt/self_dt/ia_dt): deriving them
     on device from a per-(node, block) clock replay is exact but needs
@@ -360,8 +449,9 @@ class DedupWire(NamedTuple):
     cr_feat: jnp.ndarray       # (Ur, K) i32 global e_id; -1 = empty
     cache_dt: jnp.ndarray      # (R, K) f32
     self_dt: jnp.ndarray       # (R,) f32
-    ne_pos: jnp.ndarray        # (2B,) u16|i32 node-major event positions
-    intra_lo: jnp.ndarray      # (R,) u16|i32 window start into ne_pos
+    ne_ent: jnp.ndarray        # (2B, 2) i32 node-major event entries:
+                               # [partner uniq-loc, global event row]
+    intra_lo: jnp.ndarray      # (R,) u16|i32 window start into ne_ent
     intra_cnt: jnp.ndarray     # (R,) u8 window length (≤ P)
     intra_start: jnp.ndarray   # (R,) u16|i32 window start into ia_dt
     ia_dt: jnp.ndarray         # (Ei,) f32 prefix-layout intra Δt values
@@ -411,8 +501,6 @@ def expand_dedup(wire: DedupWire, num_neighbors: int, intra_width: int,
     root_valid = root_loc != pad_loc
     uniq_nid = i32(wire.uniq_nid)
     src_slot, pos_slot = i32(wire.ev_src_slot), i32(wire.ev_pos_slot)
-    src_loc = root_loc[src_slot]
-    dst_loc = root_loc[pos_slot]
 
     # ---- cache part (dedup per unique root node) -----------------------
     cache_loc = i32(wire.cr_loc)[root_cr]                # (R, K)
@@ -429,28 +517,20 @@ def expand_dedup(wire: DedupWire, num_neighbors: int, intra_width: int,
     self_kind = jnp.where(root_valid, jnp.int8(KIND_SELF),
                           jnp.int8(KIND_INVALID))
 
-    # ---- intra part (per-slot ranges into ne_pos; Δt prefix list) -------
+    # ---- intra part (per-slot ranges into ne_ent; Δt prefix list) -------
     if P > 0:
-        ne_pos = i32(wire.ne_pos)
+        ne = i32(wire.ne_ent)                  # (2B, 2) [partner_loc, eid]
         lo = i32(wire.intra_lo)
         cnt = i32(wire.intra_cnt)
         start = i32(wire.intra_start)
         j = jnp.arange(P, dtype=jnp.int32)[None, :]
         ia_valid = j < cnt[:, None]                                # (R, P)
-        idx = jnp.clip(lo[:, None] + j, 0, ne_pos.shape[0] - 1)
-        pos = jnp.where(ia_valid, ne_pos[idx], 0)                  # (R, P)
-        raw_root_nid = uniq_nid[root_loc]
-        # One packed (B, 4) table -> ONE (R, P, 4) gather instead of four
-        # separate (R, P) gathers (per-kernel dispatch overhead on
-        # remote/tunneled runtimes makes kernel count the cost model).
-        evp = jnp.stack([ev_idx, src_loc, dst_loc, ev_dst], axis=1)
-        g = evp[pos]                                            # (R, P, 4)
-        partner_loc = jnp.where(raw_root_nid[:, None] == g[..., 3],
-                                g[..., 1], g[..., 2])
-        ia_feat = jnp.where(ia_valid, g[..., 0], 0)
+        idx = jnp.clip(lo[:, None] + j, 0, ne.shape[0] - 1)
+        g = ne[idx]                                             # (R, P, 2)
+        ia_loc = jnp.where(ia_valid, g[..., 0], pad_loc)
+        ia_feat = jnp.where(ia_valid, g[..., 1], 0)
         didx = jnp.clip(start[:, None] + j, 0, wire.ia_dt.shape[0] - 1)
         ia_dt = jnp.where(ia_valid, wire.ia_dt[didx], 0.0)
-        ia_loc = jnp.where(ia_valid, partner_loc, pad_loc)
         ia_kind = jnp.where(ia_valid, jnp.int8(KIND_INTRA),
                             jnp.int8(KIND_INVALID))
         nbr_loc = jnp.concatenate(
@@ -588,3 +668,10 @@ def expand_wire(wire, num_neighbors: int, intra_width: int,
         mw_partner=wire.mw_partner, mw_t=wire.mw_t, mw_eid=wire.mw_eid,
         nbr_rslot=nbr_rslot,
     )
+
+
+_WIRE_CLASSES.update({
+    "WirePack": WirePack,
+    "CompactWire": CompactWire,
+    "DedupWire": DedupWire,
+})

@@ -149,6 +149,16 @@ class TrainConfig:
     # dispatch count G×.  Exact: the scanned body is the same program as
     # the per-batch step.  0/1 = off.
     fuse_steps: int = 8
+    # Emit the fused group as STRAIGHT-LINE code (Python loop over the
+    # stacked wire) instead of a lax.scan.  The lean/device-cache body
+    # NEEDS this (in a while loop its cos/gather chains refuse to fuse —
+    # _build_lean_fused_train_step); for the host-pack body an A/B on the
+    # tunneled v5e measured NO speedup (the grid arrives prebuilt, so
+    # there is nothing left to fuse across iterations), a ~6× longer
+    # compile, and unrolling lets XLA reassociate float reductions
+    # across batches, so the fused epoch is no longer bitwise equal to
+    # the per-batch epoch (test_fused_steps_exact).  Default off.
+    fuse_unroll: bool = False
     # Device-cache mode (ops/lean_wire.py): keep the recency neighbor
     # cache + per-node clocks ON DEVICE and ship a lean event-only wire
     # (~0.7 MB/batch vs ~1.8 MB, and a faster host packer).  Bit-exact
@@ -179,6 +189,13 @@ class TrainConfig:
     # 'uniform' sampling, gnn.layer > 1 (rslot indices don't dedup) or
     # device-cache mode.  Takes precedence over wire_compact.
     wire_dedup: bool = True
+    # Ship each fused train group as THREE dtype-class blob arrays
+    # (ops/wire.BlobWire) instead of ~21 per-field arrays.  The tunneled
+    # H2D path charges a large fixed cost per ARRAY (measured 1.1 s for
+    # 21 per-field puts of one 5.4 MB group vs 0.16 s for one blob in
+    # the same window); the device side reconstructs per-batch wires
+    # with pure slices + same-width bitcasts.  Bit-exact.
+    wire_blob: bool = True
     # PRNG implementation for the per-step training keys (dropout masks).
     # 'rbg' uses the TPU hardware RNG path — threefry generates masks
     # with ~20 VPU ops per element over the (R, Kp, F+D) edge tensor and
