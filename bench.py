@@ -71,9 +71,14 @@ def _probe_rtt(n: int = 5) -> float:
     return float(np.median(ts) * 1000.0)
 
 
-def _measure(engine, n_windows: int, epochs_per_window: int = 2):
+def _measure(engine, n_windows: int, epochs_per_window: int = 4):
     """Sustained edges/s per window; each window drains the queue and
-    materializes every epoch's stats inside the timed region."""
+    materializes every epoch's stats inside the timed region.  4 epochs
+    per window: the end-of-window drain is ONE fixed tunnel round-trip
+    (~0.2-0.5 s) that sustained training never pays per epoch — longer
+    windows amortize it (and would also EXPOSE any device-side
+    throughput shortfall, since backpressure accumulates across the
+    window), while the median over 3 windows keeps runs comparable."""
     import jax
 
     rates = []

@@ -55,7 +55,6 @@ struct PendingBatch {
   std::vector<int64_t> run_pos;        // event position per (node,dir) entry
   std::vector<int32_t> run_partner;
   std::vector<int32_t> run_block;
-  std::unordered_map<int32_t, std::pair<int64_t, int64_t>> run_of;
   std::vector<int32_t> intra_counts;   // per root slot
   std::vector<int32_t> uniq;           // sorted unique memory read set
   // events grouped by block: ev_by_block[blk_ptr[i]..blk_ptr[i+1])
@@ -78,6 +77,13 @@ struct Packer {
   PendingBatch pending;
   std::vector<int32_t> loc_of;      // (N,) scratch: node -> uniq index,
                                     // -1 outside pack; reset after use
+  // (N,) scratch head of a per-node singly-linked entry list used by
+  // insert() — allocation-free grouping; -1 outside insert, cleared for
+  // touched nodes on exit
+  std::vector<int32_t> ins_head;
+  // (N,) per-node run extents into pending.run_pos for the CURRENT
+  // pending batch; run_lo = -1 means no run.  Reset with loc_of.
+  std::vector<int64_t> run_lo, run_hi;
 };
 
 }  // namespace
@@ -95,6 +101,9 @@ void* packer_new(int64_t num_nodes, int32_t k, int32_t s) {
   p->clock.assign(num_nodes, 0.0f);
   p->mail_ptr.assign(num_nodes, 0);
   p->loc_of.assign(num_nodes, -1);
+  p->ins_head.assign(num_nodes, -1);
+  p->run_lo.assign(num_nodes, -1);
+  p->run_hi.assign(num_nodes, 0);
   return p;
 }
 
@@ -139,48 +148,65 @@ void packer_insert(void* h, const int32_t* src, const int32_t* dst,
                    const float* t, const int64_t* e_id, int64_t b) {
   auto* p = static_cast<Packer*>(h);
   if (b == 0) return;
-  // per-node new entries in (eid asc, dst-half-before-src-half) order
-  std::unordered_map<int32_t, std::vector<CacheEntry>> per_node;
-  per_node.reserve(2 * b);
+  const int32_t K = p->K;
+  // Semantics (bit-parity with StreamPacker.insert / reference
+  // neighbor_loader.py:52-104): per node, stable-desc-sort by eid of
+  // [current cache row, new entries in (eid asc, dst-half-before-
+  // src-half) order], keep first K.  The cache row is ALREADY eid-desc
+  // (the fixpoint of this very merge), so the sort collapses to an
+  // O(K) two-way merge — cache entry wins ties (stable: cache precedes
+  // new in the candidate list).  Per-node grouping is an allocation-
+  // free linked list over a persistent (N,) head scratch: prepending
+  // src-half then dst-half while walking events FORWARD yields each
+  // node's new entries in eid-DESC, dst-half-first order — exactly the
+  // reversal of the numpy construction, which is what the merge needs.
+  std::vector<int32_t> next(2 * b);
+  std::vector<int32_t> touched;
+  touched.reserve(2 * b);
   int64_t max_eid = p->cur_e_id - 1;
+  auto prepend = [&](int32_t u, int32_t ent) {
+    if (p->ins_head[u] < 0) touched.push_back(u);
+    next[ent] = p->ins_head[u];
+    p->ins_head[u] = ent;
+  };
   for (int64_t i = 0; i < b; ++i) {
+    // entry id 2i = dst-half (node dst, nbr src), 2i+1 = src-half
+    prepend(src[i], (int32_t)(2 * i + 1));
+    prepend(dst[i], (int32_t)(2 * i));
     int64_t e = e_id ? e_id[i] : p->cur_e_id + i;
-    per_node[dst[i]].push_back({e, src[i], t[i]});   // half 0
-    per_node[src[i]].push_back({e, dst[i], t[i]});   // half 1
     max_eid = std::max(max_eid, e);
   }
-  const int32_t K = p->K;
-  // Exactly the numpy algorithm (StreamPacker.insert): per node, the
-  // candidate list is [cache row (current order), new entries in python's
-  // (eid asc, dst-half-before-src-half) per-node order — numpy takes the
-  // last K of that list first, but a full stable desc sort of everything
-  // yields the same top-K], stably sorted by eid desc, keep first K.
-  std::vector<CacheEntry> cand;
-  for (auto& kv : per_node) {
-    int32_t u = kv.first;
-    auto& nw = kv.second;
+  std::vector<CacheEntry> tmp(K);
+  for (int32_t u : touched) {
     const int64_t base = (int64_t)u * K;
-    cand.clear();
-    cand.reserve(K + nw.size());
     for (int32_t j = 0; j < K; ++j)
-      cand.push_back({p->cache_eid[base + j], p->cache_nbr[base + j],
-                      p->cache_t[base + j]});
-    // numpy truncates new entries to the last K *before* concatenation
-    // (neighbor_loader.py:88-97 semantics mirrored in StreamPacker);
-    // entries beyond that can never reach the top-K anyway, but the
-    // truncation keeps tie handling identical.
-    int64_t start = std::max<int64_t>(0, (int64_t)nw.size() - K);
-    for (int64_t j = start; j < (int64_t)nw.size(); ++j)
-      cand.push_back(nw[j]);
-    std::stable_sort(cand.begin(), cand.end(),
-                     [](const CacheEntry& a, const CacheEntry& b) {
-                       return a.eid > b.eid;
-                     });
+      tmp[j] = {p->cache_eid[base + j], p->cache_nbr[base + j],
+                p->cache_t[base + j]};
+    int32_t c = 0;               // cursor into the old cache row
+    int32_t ent = p->ins_head[u];
+    int32_t taken_new = 0;       // new entries are truncated to K
     for (int32_t j = 0; j < K; ++j) {
-      p->cache_eid[base + j] = cand[j].eid;
-      p->cache_nbr[base + j] = cand[j].nbr;
-      p->cache_t[base + j] = cand[j].t;
+      int64_t ne = -1;
+      if (ent >= 0 && taken_new < K) {
+        int64_t i = ent >> 1;
+        ne = e_id ? e_id[i] : p->cur_e_id + i;
+      }
+      if (ne > tmp[c].eid) {
+        int64_t i = ent >> 1;
+        int32_t nbr = (ent & 1) ? dst[i] : src[i];
+        p->cache_eid[base + j] = ne;
+        p->cache_nbr[base + j] = nbr;
+        p->cache_t[base + j] = t[i];
+        ent = next[ent];
+        ++taken_new;
+      } else {
+        p->cache_eid[base + j] = tmp[c].eid;
+        p->cache_nbr[base + j] = tmp[c].nbr;
+        p->cache_t[base + j] = tmp[c].t;
+        ++c;
+      }
     }
+    p->ins_head[u] = -1;
   }
   p->cur_e_id = std::max(p->cur_e_id, max_eid + 1);
 }
@@ -193,6 +219,9 @@ void packer_pack_begin(void* h, const int32_t* src, const int32_t* dst,
                        int64_t cap_p, int64_t* out_sizes) {
   auto* p = static_cast<Packer*>(h);
   auto& pb = p->pending;
+  // a previous begin whose fill never ran (pack_wire_dedup P>255
+  // fallback) leaves the scratch markers set — release them first
+  for (int32_t v : pb.uniq) { p->loc_of[v] = -1; p->run_lo[v] = -1; }
   pb = PendingBatch();
   pb.src.assign(src, src + braw);
   pb.dst.assign(dst, dst + braw);
@@ -219,30 +248,34 @@ void packer_pack_begin(void* h, const int32_t* src, const int32_t* dst,
   }
 
   // --- per-node intra-batch runs: entries (node, partner, pos) sorted by
-  // (node, pos).  Build via per-node vectors appended in event order.
+  // (node, pos).  One stable sort of the flat (node, pos) pairs replaces
+  // the per-node vector map (python lexsort key is (pos, node) ->
+  // primary node asc, secondary pos asc; pos order is append order:
+  // src-half before dst-half per event).  Run extents live in (N,)
+  // scratch arrays (run_lo/run_hi, reset with loc_of at fill end).
   {
-    std::unordered_map<int32_t, std::vector<int64_t>> lists;
-    lists.reserve(2 * braw);
+    std::vector<std::pair<int32_t, int32_t>> ents(2 * braw);
     for (int64_t i = 0; i < braw; ++i) {
-      lists[src[i]].push_back(i);
-      lists[dst[i]].push_back(i);
+      ents[2 * i] = {src[i], (int32_t)i};
+      ents[2 * i + 1] = {dst[i], (int32_t)i};
     }
-    // flatten sorted by node id (python lexsort key is (pos, node) ->
-    // primary node asc, secondary pos asc; pos order is append order)
-    std::vector<int32_t> nodes;
-    nodes.reserve(lists.size());
-    for (auto& kv : lists) nodes.push_back(kv.first);
-    std::sort(nodes.begin(), nodes.end());
+    std::stable_sort(ents.begin(), ents.end(),
+                     [](const std::pair<int32_t, int32_t>& a,
+                        const std::pair<int32_t, int32_t>& b) {
+                       return a.first < b.first;
+                     });
     pb.run_pos.reserve(2 * braw);
-    for (int32_t u : nodes) {
-      auto& v = lists[u];
-      pb.run_of[u] = {(int64_t)pb.run_pos.size(),
-                      (int64_t)(pb.run_pos.size() + v.size())};
-      for (int64_t pos : v) {
-        pb.run_pos.push_back(pos);
-        pb.run_partner.push_back(src[pos] == u ? dst[pos] : src[pos]);
-        pb.run_block.push_back(blocks[pos]);
-      }
+    pb.run_partner.reserve(2 * braw);
+    pb.run_block.reserve(2 * braw);
+    for (int64_t q = 0; q < (int64_t)ents.size(); ++q) {
+      int32_t u = ents[q].first;
+      int64_t pos = ents[q].second;
+      if (q == 0 || ents[q - 1].first != u)
+        p->run_lo[u] = (int64_t)pb.run_pos.size();
+      p->run_hi[u] = (int64_t)pb.run_pos.size() + 1;
+      pb.run_pos.push_back(pos);
+      pb.run_partner.push_back(src[pos] == u ? dst[pos] : src[pos]);
+      pb.run_block.push_back(blocks[pos]);
     }
   }
 
@@ -289,9 +322,9 @@ void packer_pack_begin(void* h, const int32_t* src, const int32_t* dst,
   int64_t p_exact = 0;
   for (int32_t blk = 0; blk < k; ++blk) {
     for (int64_t s2 = pb.offsets[blk]; s2 < pb.offsets[blk + 1]; ++s2) {
-      auto it = pb.run_of.find(pb.root_nid[s2]);
-      if (it == pb.run_of.end()) continue;
-      auto [a, b2] = it->second;
+      if (p->run_lo[pb.root_nid[s2]] < 0) continue;
+      int64_t a = p->run_lo[pb.root_nid[s2]];
+      int64_t b2 = p->run_hi[pb.root_nid[s2]];
       // count entries with block < blk (blocks asc within the run)
       const int32_t* beg = pb.run_block.data() + a;
       const int32_t* end = pb.run_block.data() + b2;
@@ -302,10 +335,15 @@ void packer_pack_begin(void* h, const int32_t* src, const int32_t* dst,
   }
   if (cap_p >= 0) p_exact = std::min(p_exact, cap_p);
   pb.p_exact = p_exact;
-  // intra nnz AFTER the cap (wire COO size)
-  int64_t nnz = 0;
-  for (int64_t s2 = 0; s2 < pb.total_roots; ++s2)
-    nnz += std::min<int64_t>(pb.intra_counts[s2], p_exact);
+  // intra nnz AFTER the cap: raw (COO wire size) and 4-aligned (DedupWire
+  // prefix-list size — each window is padded to a multiple of 4 so the
+  // device can read it as f32[4] ROW gathers instead of element gathers)
+  int64_t nnz = 0, nnz4 = 0;
+  for (int64_t s2 = 0; s2 < pb.total_roots; ++s2) {
+    int64_t c = std::min<int64_t>(pb.intra_counts[s2], p_exact);
+    nnz += c;
+    nnz4 += (c + 3) & ~int64_t{3};
+  }
 
   // --- memory read set: roots ∪ valid cache neighbors of roots (cache is
   // still pre-batch state here: inserts happen at the end of fill).
@@ -342,6 +380,7 @@ void packer_pack_begin(void* h, const int32_t* src, const int32_t* dst,
     out_sizes[4] = (int64_t)ur.size();
   }
   out_sizes[5] = pb.k;
+  out_sizes[6] = nnz4;
 }
 
 // Phase 2: fill python-allocated output buffers (bucketed shapes) and
@@ -427,7 +466,7 @@ void packer_pack_fill(
       // intra-batch predecessors (most recent P when capped)
       int64_t full = pb.intra_counts[s2];
       if (full > 0 && P > 0) {
-        auto [a, b2] = pb.run_of[u];
+        int64_t a = p->run_lo[u], b2 = p->run_hi[u];
         int64_t take = std::min<int64_t>(full, P);
         int64_t lo = a + full - take;
         for (int64_t q = 0; q < take; ++q) {
@@ -479,7 +518,7 @@ void packer_pack_fill(
           nbr_loc[row + c] = p->loc_of[nbr_nid[row + c]];
     }
     // release the scratch marker
-    for (int32_t v : uniq) p->loc_of[v] = -1;
+    for (int32_t v : uniq) { p->loc_of[v] = -1; p->run_lo[v] = -1; }
   }
 
   // --- mailbox write plan: per node last-S event-direction writes
@@ -637,7 +676,7 @@ static void fill_wire_impl(
       self_dt[s2] = 0.0f - p->clock[u];
       int64_t full = pb.intra_counts[s2];
       if (full > 0 && P > 0) {
-        auto [a, b2] = pb.run_of[u];
+        int64_t a = p->run_lo[u], b2 = p->run_hi[u];
         int64_t take = std::min<int64_t>(full, P);
         int64_t lo = a + full - take;
         for (int64_t q2 = 0; q2 < take; ++q2) {
@@ -706,8 +745,8 @@ static void fill_wire_impl(
     }
   }
 
-  // release the loc_of scratch marker
-  for (int32_t v : pb.uniq) p->loc_of[v] = -1;
+  // release the loc_of / run scratch markers
+  for (int32_t v : pb.uniq) { p->loc_of[v] = -1; p->run_lo[v] = -1; }
 
   if (insert) {
     packer_insert(h, pb.src.data(), pb.dst.data(), pb.t.data(),
@@ -763,7 +802,7 @@ void packer_pack_fill_lean(
       root_blk[s2] = blk;
       int64_t full = pb.intra_counts[s2];
       if (full > 0 && P > 0) {
-        auto [a, b2] = pb.run_of[u];
+        int64_t a = p->run_lo[u], b2 = p->run_hi[u];
         int64_t take = std::min<int64_t>(full, P);
         int64_t lo = a + full - take;
         for (int64_t q2 = 0; q2 < take; ++q2) {
@@ -901,7 +940,7 @@ void packer_pack_fill_lean(
   }
 
   // release scratch markers; do NOT touch clock or cache (device-owned)
-  for (int32_t v : pb.uniq) p->loc_of[v] = -1;
+  for (int32_t v : pb.uniq) { p->loc_of[v] = -1; p->run_lo[v] = -1; }
   pb = PendingBatch();
 }
 
@@ -1047,7 +1086,7 @@ void packer_pack_fill_wire3(
       self_dt[s2] = 0.0f - p->clock[u];
       int64_t full = pb.intra_counts[s2];
       if (full > 0 && P > 0) {
-        auto [a, b2] = pb.run_of[u];
+        int64_t a = p->run_lo[u], b2 = p->run_hi[u];
         int64_t take = std::min<int64_t>(full, P);
         int64_t lo = a + full - take;
         intra_lo[s2] = (int32_t)lo;
@@ -1056,8 +1095,11 @@ void packer_pack_fill_wire3(
         for (int64_t q2 = 0; q2 < take; ++q2) {
           int64_t pos = pb.run_pos[lo + q2];
           int32_t partner = pb.run_partner[lo + q2];
-          ia_dt[dt_cursor++] = pb.t[pos] - p->clock[partner];
+          ia_dt[dt_cursor + q2] = pb.t[pos] - p->clock[partner];
         }
+        // windows start 4-aligned: the device reads the prefix list as
+        // f32[4] row gathers (ops/wire.expand_dedup)
+        dt_cursor += (take + 3) & ~int64_t{3};
       }
     }
   }
@@ -1101,8 +1143,8 @@ void packer_pack_fill_wire3(
     }
   }
 
-  // release the loc_of scratch marker
-  for (int32_t v : pb.uniq) p->loc_of[v] = -1;
+  // release the loc_of / run scratch markers
+  for (int32_t v : pb.uniq) { p->loc_of[v] = -1; p->run_lo[v] = -1; }
 
   if (insert) {
     packer_insert(h, pb.src.data(), pb.dst.data(), pb.t.data(),

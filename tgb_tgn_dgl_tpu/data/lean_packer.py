@@ -115,7 +115,7 @@ class NativeLeanPacker:
         k = int(blocks32.max()) + 1 if Braw else 0
         skey = (M, bool(eval_mode))
 
-        sizes = np.zeros(6, np.int64)
+        sizes = np.zeros(7, np.int64)
         lib.packer_pack_begin(self._h, src, dst, t, ev_idx64, blocks32,
                               neg2d, Braw, M, int(eval_mode), cap_p,
                               sizes)

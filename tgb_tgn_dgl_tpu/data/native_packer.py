@@ -217,7 +217,7 @@ class NativeStreamPacker:
         M = neg2d.shape[1]
         cap_p = -1 if cfg.max_intra_block is None else cfg.max_intra_block
 
-        sizes = np.zeros(6, np.int64)
+        sizes = np.zeros(7, np.int64)
         lib.packer_pack_begin(self._h, src, dst, t, ev_idx64, blocks,
                               neg2d, Braw, M, int(eval_mode), cap_p, sizes)
         total_roots, p_exact, U = int(sizes[0]), int(sizes[1]), int(sizes[2])
@@ -304,7 +304,7 @@ class NativeStreamPacker:
         M = neg2d.shape[1]
         cap_p = -1 if cfg.max_intra_block is None else cfg.max_intra_block
 
-        sizes = np.zeros(6, np.int64)
+        sizes = np.zeros(7, np.int64)
         lib.packer_pack_begin(self._h, src, dst, t, ev_idx64, blocks,
                               neg2d, Braw, M, int(eval_mode), cap_p, sizes)
         total_roots, p_exact, U, nnz = (int(sizes[0]), int(sizes[1]),
@@ -416,14 +416,12 @@ class NativeStreamPacker:
         M = neg2d.shape[1]
         cap_p = -1 if cfg.max_intra_block is None else cfg.max_intra_block
 
-        sizes = np.zeros(6, np.int64)
+        sizes = np.zeros(7, np.int64)
         lib.packer_pack_begin(self._h, src, dst, t, ev_idx64, blocks,
                               neg2d, Braw, M, int(eval_mode), cap_p, sizes)
-        total_roots, p_exact, U, nnz, n_ur = (int(sizes[0]),
-                                              int(sizes[1]),
-                                              int(sizes[2]),
-                                              int(sizes[3]),
-                                              int(sizes[4]))
+        total_roots, p_exact, U, n_ur = (int(sizes[0]), int(sizes[1]),
+                                         int(sizes[2]), int(sizes[4]))
+        nnz4 = int(sizes[6])   # 4-aligned prefix-list size (row gathers)
         skey = (M, bool(eval_mode))
         P = (cfg.max_intra_block if cfg.max_intra_block is not None
              else self._sticky_bucket(skey, "P", _bucket_p(p_exact)))
@@ -436,7 +434,7 @@ class NativeStreamPacker:
         Ur = self._sticky_bucket(
             skey, "Ur", _bucket_pow2(n_ur + 1, cfg.root_bucket_lo))
         Ei = self._sticky_bucket(
-            skey, "Ei", _bucket_pow2(max(nnz, 1), lo=2 * B))
+            skey, "Ei", _bucket_pow2(max(nnz4, 4), lo=2 * B))
 
         ev_src = np.empty(B, np.int32)
         ev_dst = np.empty(B, np.int32)

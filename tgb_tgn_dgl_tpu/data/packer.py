@@ -679,16 +679,21 @@ class StreamPacker:
         intra_cnt_all = keep
         intra_lo_all = np.where(keep > 0, intra_lo_all, 0)
         # prefix layout of the intra Δt list (slot-major, window order);
-        # zero-width windows keep start 0 (native-packer parity)
+        # every window occupies a 4-ALIGNED, 4-padded span so the device
+        # can read it as f32[4] ROW gathers instead of element gathers
+        # (ops/wire.expand_dedup; element gathers were the hottest op of
+        # the profiled step).  Zero-width windows keep start 0
+        # (native-packer parity).
+        pad4 = (intra_cnt_all + 3) // 4 * 4
         intra_start_all = np.concatenate(
-            [[0], np.cumsum(intra_cnt_all)[:-1]]).astype(np.int64) \
+            [[0], np.cumsum(pad4)[:-1]]).astype(np.int64) \
             if total_roots else np.zeros(0, np.int64)
         intra_start_all = np.where(intra_cnt_all > 0, intra_start_all, 0)
-        nnz = int(intra_cnt_all.sum())
+        nnz4 = int(pad4.sum())
         R = self._sticky_bucket(
             skey, "R", _bucket_pow2(max(total_roots, 1), cfg.root_bucket_lo))
         Ei = self._sticky_bucket(
-            skey, "Ei", _bucket_pow2(max(nnz, 1), lo=2 * B))
+            skey, "Ei", _bucket_pow2(max(nnz4, 4), lo=2 * B))
 
         # --- memory read set (pre-batch cache state) -----------------------
         cache_eid_roots = self.cache_eid[root_nid_all]        # (TR, K)

@@ -529,8 +529,20 @@ def expand_dedup(wire: DedupWire, num_neighbors: int, intra_width: int,
         g = ne[idx]                                             # (R, P, 2)
         ia_loc = jnp.where(ia_valid, g[..., 0], pad_loc)
         ia_feat = jnp.where(ia_valid, g[..., 1], 0)
-        didx = jnp.clip(start[:, None] + j, 0, wire.ia_dt.shape[0] - 1)
-        ia_dt = jnp.where(ia_valid, wire.ia_dt[didx], 0.0)
+        Etot = wire.ia_dt.shape[0]
+        if P % 4 == 0 and Etot % 4 == 0:
+            # windows are 4-aligned/4-padded by the packer: read the
+            # prefix list as f32[4] ROW gathers (element gathers were
+            # the hottest op of the profiled step — BASELINE.md)
+            dt4 = wire.ia_dt.reshape(-1, 4)
+            j4 = jnp.arange(P // 4, dtype=jnp.int32)[None, :]
+            didx4 = jnp.clip(start[:, None] // 4 + j4, 0,
+                             dt4.shape[0] - 1)
+            ia_dt_raw = dt4[didx4].reshape(-1, P)        # (R, P)
+            ia_dt = jnp.where(ia_valid, ia_dt_raw, 0.0)
+        else:
+            didx = jnp.clip(start[:, None] + j, 0, Etot - 1)
+            ia_dt = jnp.where(ia_valid, wire.ia_dt[didx], 0.0)
         ia_kind = jnp.where(ia_valid, jnp.int8(KIND_INTRA),
                             jnp.int8(KIND_INVALID))
         nbr_loc = jnp.concatenate(
