@@ -90,6 +90,7 @@ class TemporalData:
             src=self.src, dst=self.dst, t=self.t, msg=self.msg,
             train_mask=self.train_mask, val_mask=self.val_mask,
             test_mask=self.test_mask,
+            eval_metric=np.asarray(self.eval_metric),
         )
         if self.val_ns is not None:
             arrays["val_ns"] = self.val_ns
@@ -120,6 +121,8 @@ def load_npz(path: str, name: Optional[str] = None) -> TemporalData:
         test_mask=z["test_mask"].astype(bool),
         val_ns=z["val_ns"] if "val_ns" in z else None,
         test_ns=z["test_ns"] if "test_ns" in z else None,
+        eval_metric=(str(z["eval_metric"]) if "eval_metric" in z.files
+                     else "mrr"),
     )
 
 

@@ -28,6 +28,48 @@ def mrr(y_pred_pos: np.ndarray, y_pred_neg: np.ndarray,
     return 1.0 / rank
 
 
+def parse_eval_metric(metric: str):
+    """Split a TGB linkproppred metric name into (kind, k): 'mrr' →
+    ('mrr', 0), 'hits@K' → ('hits', K).  TGB's Evaluator surface for
+    link prediction is exactly these two families (reference
+    epoch_utils.py:108-113 uses whichever the dataset declares)."""
+    if metric == "mrr":
+        return "mrr", 0
+    if metric.startswith("hits@"):
+        k = int(metric[5:])
+        if k < 1:
+            raise ValueError(f"hits@k needs k >= 1, got '{metric}'")
+        return "hits", k
+    raise ValueError(f"unsupported eval metric '{metric}'")
+
+
+def rank_metric_from_counts(opt, pes, kind: str, k: int):
+    """Per-event metric value from additive rank counts (device-side;
+    used inside the engines' jitted finalizers).  opt = #neg strictly
+    better, pes = #neg at least as good — the TGB/OGB tie convention
+    rank is their midpoint + 1; hits@k and MRR are both pure functions
+    of that rank, so chunked negative evaluation stays exact for both."""
+    import jax.numpy as jnp
+
+    rank = 0.5 * (opt + pes).astype(jnp.float32) + 1.0
+    if kind == "mrr":
+        return 1.0 / rank
+    return (rank <= k).astype(jnp.float32)
+
+
+def hits_at_k(y_pred_pos: np.ndarray, y_pred_neg: np.ndarray, k: int,
+              neg_mask: np.ndarray | None = None) -> np.ndarray:
+    """Per-event hits@k under the same tie convention as mrr()."""
+    pos = y_pred_pos[:, None]
+    better = y_pred_neg > pos
+    at_least = y_pred_neg >= pos
+    if neg_mask is not None:
+        better = better & neg_mask
+        at_least = at_least & neg_mask
+    rank = 0.5 * (better.sum(axis=1) + at_least.sum(axis=1)) + 1.0
+    return (rank <= k).astype(np.float64)
+
+
 def average_precision(y_true: np.ndarray, y_score: np.ndarray) -> float:
     """sklearn-equivalent AP (step-wise precision-recall integral)."""
     order = np.argsort(-y_score, kind="stable")
@@ -128,6 +170,7 @@ class Evaluator:
         metric = input_dict["eval_metric"][0]
         pos = np.asarray(input_dict["y_pred_pos"])
         neg = np.asarray(input_dict["y_pred_neg"])
-        if metric == "mrr":
+        kind, k = parse_eval_metric(metric)
+        if kind == "mrr":
             return {"mrr": float(mrr(pos, neg).mean())}
-        raise ValueError(f"unsupported metric {metric}")
+        return {metric: float(hits_at_k(pos, neg, k).mean())}

@@ -45,7 +45,7 @@ from ..utils.config import FrameworkConfig
 from .checkpoint import (EarlyStopMonitor, load_pytree, rng_state_from_array,
                          rng_state_to_array, save_pytree)
 from .evaluator import (Evaluator, average_precision, jnp_ap_auc, jnp_mrr,
-                        roc_auc)
+                        parse_eval_metric, rank_metric_from_counts, roc_auc)
 from .negatives import FixedNegatives, NegLinkSamplerDest
 
 
@@ -604,11 +604,16 @@ class Engine:
                 ge = jnp.logical_and(ge, m2)
             return (pos, opt + gt.sum(axis=1), pes + ge.sum(axis=1))
 
+        # metric finalizer: MRR or hits@k, both pure functions of the
+        # per-event rank counts (TGB's linkproppred metric surface —
+        # the dataset declares which, reference epoch_utils.py:108-113)
+        kind, k = parse_eval_metric(self.data.eval_metric)
+
         def finalize(acc, opt, pes, valid):
             # TGB/OGB tie convention: rank = ½(optimistic + pessimistic)+1
-            rank = 0.5 * (opt + pes).astype(jnp.float32) + 1.0
-            rr = jnp.where(valid, 1.0 / rank, 0.0)
-            batch_mean = rr.sum() / jnp.maximum(valid.sum(), 1)
+            val = rank_metric_from_counts(opt, pes, kind, k)
+            val = jnp.where(valid, val, 0.0)
+            batch_mean = val.sum() / jnp.maximum(valid.sum(), 1)
             return acc + jnp.stack([batch_mean, jnp.float32(1.0)])
 
         self._eval_score_raw = score_counts
@@ -1080,7 +1085,16 @@ class Engine:
         intra_width).  jax dispatch is asynchronous, so packing batch i+1
         on the main thread already overlaps the device executing batch i
         — a worker-thread queue was measured 3x SLOWER here (GIL/context-
-        switch ping-pong on a 2-core host)."""
+        switch ping-pong on a 2-core host).  When the NATIVE packer is
+        live, the pack itself additionally runs one batch ahead on a C++
+        worker thread (no GIL involvement — the round-1 failure mode
+        doesn't apply), overlapping host packing with python-side
+        dispatch/stacking of the previous batch."""
+        if (eval_negs is None and self._wire_dedup
+                and getattr(self.packer, "async_available",
+                            lambda: False)()):
+            yield from self._prefetch_pipelined(split)
+            return
         d = self.data
         for lo, hi, rows, blk in self._iter_batches(split):
             src, dst, t = d.src[rows], d.dst[rows], d.t[rows]
@@ -1097,6 +1111,47 @@ class Engine:
             wire, iw = self.packer.pack_wire(src, dst, t, rows, blk, neg,
                                              eval_mode=em)
             yield lo, hi, self._maybe_compact(wire, iw), iw
+
+    def _prefetch_pipelined(self, split: str):
+        """One-deep pack-ahead: batch i+1 packs inside the native packer's
+        C++ worker thread while the caller dispatches batch i
+        (csrc/packer.cpp async API; VERDICT r3 item 2).  Submission order
+        equals stream order and the pipeline drains before the generator
+        finishes, so stream state matches the synchronous path exactly —
+        the wires themselves are bit-identical (the worker runs the same
+        begin/fill code into staging buffers)."""
+        d = self.data
+
+        def sync_pack(args):
+            wire, iw = self.packer.pack_wire(*args)
+            return self._maybe_compact(wire, iw), iw
+
+        pend = None                      # (lo, hi, args) submitted job
+        for lo, hi, rows, blk in self._iter_batches(split):
+            src, dst, t = d.src[rows], d.dst[rows], d.t[rows]
+            neg = self.neg_sampler.sample(dst)
+            args = (src, dst, t, rows, blk, neg)
+            if pend is not None:
+                out = self.packer.pack_wire_dedup_fetch()
+                if out is None:          # P>255: repack synchronously
+                    out = sync_pack(pend[2])
+                plo, phi = pend[0], pend[1]
+                if self.packer.pack_wire_dedup_submit(*args):
+                    pend = (lo, hi, args)
+                    yield plo, phi, out[0], out[1]
+                else:                    # unsubmittable batch: go sync
+                    pend = None
+                    yield plo, phi, out[0], out[1]
+                    yield (lo, hi) + sync_pack(args)
+            elif self.packer.pack_wire_dedup_submit(*args):
+                pend = (lo, hi, args)
+            else:
+                yield (lo, hi) + sync_pack(args)
+        if pend is not None:
+            out = self.packer.pack_wire_dedup_fetch()
+            if out is None:
+                out = sync_pack(pend[2])
+            yield pend[0], pend[1], out[0], out[1]
 
     def _pack_dedup(self, src, dst, t, rows, blk, neg, eval_mode,
                     insert=True, write_mail=True):
@@ -1298,8 +1353,6 @@ class Engine:
         if ns is None:
             raise ValueError(f"no fixed negatives for split '{split}'")
         fixed = FixedNegatives(ns, mode=self.config.train.eval_neg_mode)
-        assert d.eval_metric == "mrr", \
-            f"unsupported eval metric '{d.eval_metric}'"
         B = self.config.train.batch_size
         acc = jnp.zeros(2, jnp.float32)
         inflight = []
@@ -1582,7 +1635,10 @@ class Engine:
         self._rng = jax.random.wrap_key_data(jnp.asarray(st["rng"]),
                                              impl=self._rng_impl)
         self._base_kd = np.asarray(st["rng"])
-        self._rng_step = int(st.get("rng_step", 0))
+        # old checkpoints lack rng_step: seed it from the step counter so
+        # a resumed run continues a non-repeating key schedule instead of
+        # re-deriving the early per-step keys (ADVICE r3)
+        self._rng_step = int(st.get("rng_step", st["step"]))
         self.neg_sampler.rng = rng_state_from_array(st["neg_rng"])
         self._step = int(st["step"])
         self._epoch = int(st["epoch"])

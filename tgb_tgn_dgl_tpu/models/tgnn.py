@@ -244,6 +244,10 @@ def tgnn_embed(
         return jnp.mean(out + dst_in[:, None, :], axis=1)
 
     L = cfg.num_layers
+    # derive_key distinctness contract: local offsets 8·l + q (q ≤ 5)
+    # must stay under the engine's per-step key stride of 64, or masks
+    # would silently repeat across steps (models/init.derive_key).
+    assert L <= 8, f"gnn.layer={L} exceeds the dropout-key offset budget"
     rslot = getattr(pack, "nbr_rslot", None)
     if L > 1 and rslot is None:
         raise ValueError("gnn.layer > 1 needs nbr_rslot in the pack "

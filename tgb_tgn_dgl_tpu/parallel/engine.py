@@ -56,7 +56,8 @@ from ..models.memory import (MemoryModelConfig, MemoryState, apply_mail,
 from ..models.tgnn import (TGNNConfig, bce_loss, edge_predictor, init_tgnn,
                            tgnn_embed, tgnn_forward)
 from ..ops.wire import expand_wire, stack_wires
-from ..engine.evaluator import jnp_ap_auc
+from ..engine.evaluator import (jnp_ap_auc, parse_eval_metric,
+                                rank_metric_from_counts)
 from ..engine.negatives import FixedNegatives, NegLinkSamplerDest
 from ..engine.train import (Engine as _SingleEngine, _wire_key,
                             eval_neg_chunk_size)
@@ -384,11 +385,14 @@ class ShardedEngine:
                 efused, out_shardings=(rep, rep, rep),
                 donate_argnums=(5, 6)) if self._fuse > 1 else None
 
-        # per-batch MRR finalizer: acc (2,) += [batch_mean_rr, 1]
+        # per-batch metric finalizer (MRR or hits@k from rank counts):
+        # acc (2,) += [batch_mean, 1]
+        kind, kk = parse_eval_metric(self.data.eval_metric)
+
         def finalize(acc, opt, pes, valid):
-            rank = 0.5 * (opt + pes).astype(jnp.float32) + 1.0
-            rr = jnp.where(valid, 1.0 / rank, 0.0)
-            return acc + jnp.stack([rr.sum()
+            val = rank_metric_from_counts(opt, pes, kind, kk)
+            val = jnp.where(valid, val, 0.0)
+            return acc + jnp.stack([val.sum()
                                     / jnp.maximum(valid.sum(), 1),
                                     jnp.float32(1.0)])
 

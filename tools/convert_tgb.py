@@ -58,6 +58,10 @@ def convert(name: str, root: str, out: str) -> None:
         src=src.astype(np.int32), dst=dst.astype(np.int32),
         t=t.astype(np.float32), msg=msg,
         train_mask=train_mask, val_mask=val_mask, test_mask=test_mask,
+        # TGB datasets declare their metric ('mrr' or 'hits@k'); the
+        # engines build their jitted finalizer from this field
+        eval_metric=np.asarray(
+            getattr(dataset, "eval_metric", None) or "mrr"),
     )
 
     # Pre-generated eval negatives, in event order per split (the order

@@ -39,15 +39,6 @@ def census(hlo_text: str):
     return comps
 
 
-LAUNCH_OPS = (
-    "fusion", "custom-call", "convolution", "dot", "scatter", "gather",
-    "reduce", "sort", "rng", "all-reduce", "all-gather", "copy",
-    "dynamic-slice", "dynamic-update-slice", "transpose", "reshape",
-    "broadcast", "iota", "concatenate", "select", "add", "multiply",
-    "pad", "slice", "convert", "compare", "reduce-window", "bitcast",
-)
-
-
 def count_launches(lines):
     counts = collections.Counter()
     fusion_details = collections.Counter()
