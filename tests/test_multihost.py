@@ -277,3 +277,241 @@ def test_two_process_distributed_cpu(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
         assert f"proc {i} ok" in out
+
+
+def test_replan_mail_slots_matches_serial_packer():
+    """replan_mail_slots must reproduce, per range, EXACTLY the
+    identity-indexed mailbox write plan a serial per-batch packer emits
+    (same last-min(count,S) selection, same ring slots from evolving
+    pointers), plus the serial end-of-super-batch pointers."""
+    from tgb_tgn_dgl_tpu.parallel.multihost import replan_mail_slots
+
+    data = synthetic("replan", num_edges=1200, num_nodes=150, msg_dim=4,
+                     num_neg=1, seed=13)
+    B, n_hosts = 100, 3
+    for S in (1, 2, 3):
+        cfg = PackerConfig(num_neighbors=5, batch_size=B, mailbox_size=S)
+        serial = StreamPacker(data.num_nodes, cfg)
+        rng = np.random.default_rng(0)
+        rows_all = np.arange(1200)
+        for lo in range(0, 1200, n_hosts * B):
+            ptr0 = serial.mail_ptr.copy()
+            srcs, dsts, plans_want = [], [], []
+            for h in range(n_hosts):
+                rows = rows_all[lo + h * B: lo + (h + 1) * B]
+                src, dst, t = data.src[rows], data.dst[rows], data.t[rows]
+                neg = rng.integers(0, data.num_nodes, B).astype(np.int32)
+                pack = serial.pack(src, dst, t, rows, get_block(src, dst),
+                                   neg)
+                srcs.append(src)
+                dsts.append(dst)
+                want = np.where(pack.mw_node == data.num_nodes, -1,
+                                pack.mw_slot).astype(np.int64)
+                plans_want.append(want)
+            plans, ptr_end = replan_mail_slots(srcs, dsts, ptr0, S, B)
+            for h in range(n_hosts):
+                np.testing.assert_array_equal(plans[h], plans_want[h],
+                                              err_msg=f"S={S} host {h}")
+            np.testing.assert_array_equal(ptr_end, serial.mail_ptr)
+
+
+@pytest.mark.parametrize("mailbox", [1, 2])
+def test_composed_memory_step_matches_serial_chain(mailbox):
+    """The memory-enabled composed super-batch step (VERDICT r3 item 1):
+    over 3 super-batches x 2 hosts, the composed step's memory state
+    evolution and per-super-batch loss must match a SERIAL mailbox-
+    memory chain (per-batch apply_mail -> forward -> commit with the
+    exact engine primitives) — the state chain is bit-serial; the loss
+    is the mean of the serial per-batch losses (data-parallel large-step
+    semantics, lr=0 isolates memory/forward equality from the optimizer
+    step-count difference)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tgb_tgn_dgl_tpu.models.memory import (MemoryModelConfig,
+                                               apply_mail, commit,
+                                               init_memory_params,
+                                               init_memory_state)
+    from tgb_tgn_dgl_tpu.models.tgnn import (TGNNConfig, bce_loss,
+                                             init_tgnn, tgnn_forward)
+    from tgb_tgn_dgl_tpu.ops.wire import expand_wire
+    from tgb_tgn_dgl_tpu.parallel.multihost import (
+        apply_mail_plan, build_composed_memory_step, concat_offset_wires,
+        replan_mail_slots)
+
+    data = synthetic("mh-mem", num_edges=800, num_nodes=120, msg_dim=6,
+                     num_neg=2, seed=29)
+    B, K, IW, n_hosts = 64, 5, 8, 2
+    D = 16
+    N = data.num_nodes
+    cfg = PackerConfig(num_neighbors=K, batch_size=B, max_intra_block=IW,
+                       root_bucket_lo=512, mailbox_size=mailbox)
+    hosts = [StreamPacker(N, cfg) for _ in range(n_hosts)]
+    neg_sampler = NegLinkSamplerDest(data.unique_dst(), seed=5)
+
+    model_cfg = TGNNConfig(edge_feat_dim=data.msg_dim, hidden_dim=D,
+                           num_heads=2, feat_drop=0.0, attn_drop=0.0)
+    mem_cfg = MemoryModelConfig(num_nodes=N, raw_msg_dim=data.msg_dim,
+                                memory_dim=D, time_dim=D,
+                                mailbox_size=mailbox)
+    key = jax.random.PRNGKey(0)
+    params = init_tgnn(key, model_cfg)
+    params["memory"] = init_memory_params(jax.random.PRNGKey(1), mem_cfg)
+    optimizer = optax.adam(0.0)          # isolate memory/forward equality
+    opt_state = optimizer.init(params)
+    feats = jnp.asarray(data.msg)
+
+    step = build_composed_memory_step(model_cfg, mem_cfg, optimizer,
+                                      K, IW, N, n_hosts)
+    mem_composed = init_memory_state(mem_cfg)
+    mem_serial = init_memory_state(mem_cfg)
+
+    rows_all = np.nonzero(data.train_mask)[0]
+    sb = n_hosts * B
+    n_super = 3
+    for s in range(n_super):
+        lo = s * sb
+        ptr0 = np.asarray(hosts[0].mail_ptr).copy()
+        batches, wires = [], []
+        for h in range(n_hosts):
+            rows = rows_all[lo + h * B: lo + (h + 1) * B]
+            src, dst, t = data.src[rows], data.dst[rows], data.t[rows]
+            neg = neg_sampler.sample(dst)
+            blk = get_block(src, dst)
+            batches.append((src, dst, t, rows, neg))
+            w, _ = hosts[h].pack_wire(src, dst, t, rows, blk, neg)
+            wires.append(w)
+        plans, ptr_end = replan_mail_slots(
+            [b[0] for b in batches], [b[1] for b in batches], ptr0,
+            mailbox, B)
+        # --- serial oracle: the SAME host-packed wires (the packing
+        # staleness is the protocol's documented trade, proven exact at
+        # super-batch boundaries by the exchange test above), with the
+        # serially re-planned mail slots, pushed through the engine
+        # memory primitives one batch at a time in stream order
+        serial_losses = []
+        for h in range(n_hosts):
+            ws = apply_mail_plan(wires[h], plans[h], N)
+            wsj = jax.tree.map(
+                lambda a: None if a is None else jnp.asarray(a), ws,
+                is_leaf=lambda x: x is None)
+            pk = expand_wire(wsj, K, IW, N)
+            r_rows, l_rows = apply_mail(params["memory"], mem_cfg,
+                                        mem_serial, pk.uniq_nid, feats)
+            pos, neg_l = tgnn_forward(params, model_cfg, r_rows, feats,
+                                      pk, train=False, local=True)
+            serial_losses.append(float(bce_loss(pos, neg_l,
+                                                pk.ev_valid)))
+            mem_serial = commit(mem_cfg, mem_serial, pk.uniq_nid, r_rows,
+                                l_rows, pk.mw_node, pk.mw_slot,
+                                pk.mw_partner, pk.mw_t, pk.mw_eid)
+        gw = concat_offset_wires(wires, mail_plans=plans, num_nodes=N)
+        params, opt_state, mem_composed, loss, _p, _n = step(
+            params, opt_state, mem_composed, feats, gw,
+            jax.random.PRNGKey(9))
+        # loss = mean of the serial per-batch losses
+        np.testing.assert_allclose(float(loss),
+                                   np.mean(serial_losses), rtol=2e-5)
+        # memory state chain: bit-serial
+        for f, a, b in zip(mem_composed._fields, mem_composed,
+                           mem_serial):
+            a, b = np.asarray(a), np.asarray(b)
+            if a.dtype.kind == "f":
+                np.testing.assert_allclose(
+                    a, b, rtol=1e-5, atol=1e-6,
+                    err_msg=f"sb {s} mem field {f}")
+            else:
+                np.testing.assert_array_equal(
+                    a, b, err_msg=f"sb {s} mem field {f}")
+        # protocol: exchange restores serial host state; replan's end
+        # pointers equal the serial packer's
+        payloads = [_encode(b[0], b[1], b[2], b[3], b[4])
+                    for b in batches]
+        for h in range(n_hosts):
+            SuperBatchExchanger(hosts[h], h, n_hosts,
+                                allgather=lambda _p: payloads
+                                ).exchange(*batches[h])
+        # the replan's serial end pointers equal the exchanger-restored
+        # (= serial, test_super_batch_exchange_matches_serial) pointers
+        np.testing.assert_array_equal(ptr_end, hosts[0].mail_ptr)
+        np.testing.assert_array_equal(ptr_end, hosts[1].mail_ptr)
+
+
+def test_composed_memory_step_on_mesh():
+    """The composed memory step (sequential state chain + parallel
+    forward) compiles and matches its single-device result when jitted
+    over a ("dp","state") mesh with the wire range-partitioned on dp."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tgb_tgn_dgl_tpu.models.memory import (MemoryModelConfig,
+                                               init_memory_params,
+                                               init_memory_state)
+    from tgb_tgn_dgl_tpu.models.tgnn import TGNNConfig, init_tgnn
+    from tgb_tgn_dgl_tpu.parallel import mesh as mesh_lib
+    from tgb_tgn_dgl_tpu.parallel.multihost import (
+        build_composed_memory_step, concat_offset_wires,
+        replan_mail_slots)
+
+    data = synthetic("mh-mem-mesh", num_edges=600, num_nodes=100,
+                     msg_dim=4, num_neg=2, seed=31)
+    B, K, IW, n_hosts = 64, 5, 8, 2
+    D = 16
+    N = data.num_nodes
+    cfg = PackerConfig(num_neighbors=K, batch_size=B, max_intra_block=IW,
+                       root_bucket_lo=512, mailbox_size=1)
+    hosts = [StreamPacker(N, cfg) for _ in range(n_hosts)]
+    neg_sampler = NegLinkSamplerDest(data.unique_dst(), seed=5)
+    model_cfg = TGNNConfig(edge_feat_dim=data.msg_dim, hidden_dim=D,
+                           num_heads=2, feat_drop=0.0, attn_drop=0.0)
+    mem_cfg = MemoryModelConfig(num_nodes=N, raw_msg_dim=data.msg_dim,
+                                memory_dim=D, time_dim=D, mailbox_size=1)
+    params = init_tgnn(jax.random.PRNGKey(0), model_cfg)
+    params["memory"] = init_memory_params(jax.random.PRNGKey(1), mem_cfg)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    feats = jnp.asarray(data.msg)
+
+    ptr0 = np.asarray(hosts[0].mail_ptr).copy()
+    batches, wires = [], []
+    for h in range(n_hosts):
+        rows = np.arange(h * B, (h + 1) * B)
+        src, dst, t = data.src[rows], data.dst[rows], data.t[rows]
+        neg = neg_sampler.sample(dst)
+        batches.append((src, dst))
+        w, _ = hosts[h].pack_wire(src, dst, t, rows, get_block(src, dst),
+                                  neg)
+        wires.append(w)
+    plans, _ = replan_mail_slots([b[0] for b in batches],
+                                 [b[1] for b in batches], ptr0, 1, B)
+    gw = concat_offset_wires(wires, mail_plans=plans, num_nodes=N)
+
+    step = build_composed_memory_step(model_cfg, mem_cfg, optimizer,
+                                      K, IW, N, n_hosts, jit=False)
+    p1, o1, m1, l1, _, _ = jax.jit(step)(
+        params, opt_state, init_memory_state(mem_cfg), feats, gw,
+        jax.random.PRNGKey(3))
+
+    mesh = mesh_lib.make_mesh(8)          # (dp, state) over 8 devices
+    dp_sh = NamedSharding(mesh, P("dp"))
+    gw_sharded = jax.tree.map(
+        lambda a: None if a is None
+        else jax.device_put(np.asarray(a), dp_sh), gw,
+        is_leaf=lambda x: x is None)
+    p2, o2, m2, l2, _, _ = jax.jit(step)(
+        params, opt_state, init_memory_state(mem_cfg), feats, gw_sharded,
+        jax.random.PRNGKey(3))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for f, a, b in zip(m1._fields, m1, m2):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind == "f":
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6,
+                                       err_msg=f)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=f)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
