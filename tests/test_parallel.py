@@ -197,3 +197,82 @@ def test_sharded_dispatch_count_near_single():
     n_sh = sh.dispatch_count
     assert n_single > 0 and n_sh > 0
     assert n_sh <= 2 * n_single, (n_sh, n_single)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_engine_checkpoint_resume(tmp_path):
+    """ShardedEngine full-state save/load reproduces identical continued
+    training on the (dp, state) mesh — the multi-chip mirror of
+    test_decoders_ckpt::test_engine_checkpoint_resume (VERDICT r3 item 3;
+    SURVEY.md §5.3 multi-host recovery = restart from checkpoint)."""
+    from tgb_tgn_dgl_tpu.data.dataset import synthetic
+    from tgb_tgn_dgl_tpu.parallel.engine import ShardedEngine
+    from tgb_tgn_dgl_tpu.utils.config import parse_config_dict
+
+    data = synthetic("sharded-ckpt", num_edges=1024, num_nodes=128,
+                     msg_dim=8, num_neg=4, seed=11)
+    raw = {
+        "sampling": [{"neighbor": [5]}],
+        "memory": [{"dim_out": 16, "dim_time": 16, "mailbox_size": 2}],
+        "gnn": [{"dim_out": 16, "att_head": 2, "dim_time": 16}],
+        "train": [{"batch_size": 256, "lr": 1e-3, "dropout": 0.0,
+                   "att_dropout": 0.0, "frozen_memory": False,
+                   "seed": 7}],
+    }
+    mesh = mesh_lib.make_mesh(8, dp=4, state=2)
+    e1 = ShardedEngine(data, parse_config_dict(raw), mesh=mesh)
+    e1.train_epoch()
+    path = str(tmp_path / "sharded.npz")
+    e1.save_checkpoint(path)
+    loss_a = e1.train_epoch()["loss"]
+    val_a = e1.evaluate("val")
+
+    e2 = ShardedEngine(data, parse_config_dict(raw), mesh=mesh)
+    e2.load_checkpoint(path)
+    loss_b = e2.train_epoch()["loss"]
+    val_b = e2.evaluate("val")
+    assert loss_a == pytest.approx(loss_b, rel=1e-5)
+    assert val_a == pytest.approx(val_b, rel=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_engine_fit_operational(tmp_path):
+    """ShardedEngine.fit drives eval_every, jsonl metrics, periodic
+    checkpoints, val-snapshot protection and patience early-stopping —
+    the single-chip Engine.fit surface (VERDICT r3 items 3/weak-4)."""
+    import json
+    import os
+
+    from tgb_tgn_dgl_tpu.data.dataset import synthetic
+    from tgb_tgn_dgl_tpu.engine.checkpoint import EarlyStopMonitor
+    from tgb_tgn_dgl_tpu.parallel.engine import ShardedEngine
+    from tgb_tgn_dgl_tpu.utils.config import parse_config_dict
+
+    data = synthetic("sharded-fit", num_edges=768, num_nodes=96,
+                     msg_dim=4, num_neg=4, seed=5)
+    raw = {
+        "sampling": [{"neighbor": [4]}],
+        "memory": [{"dim_out": 8, "dim_time": 8}],
+        "gnn": [{"dim_out": 8, "att_head": 2, "dim_time": 8}],
+        "train": [{"batch_size": 128, "lr": 1e-3,
+                   "frozen_memory": False}],
+    }
+    eng = ShardedEngine(data, parse_config_dict(raw),
+                        mesh=mesh_lib.make_mesh(8, dp=2, state=4))
+    mon = EarlyStopMonitor(max_round=1, save_dir=str(tmp_path / "best"))
+    hist = eng.fit(epochs=4, log=lambda *a, **k: None, eval_every=1,
+                   early_stop=mon,
+                   checkpoint_dir=str(tmp_path / "ckpt"),
+                   checkpoint_every=1, log_dir=str(tmp_path),
+                   val_snapshot=True)
+    assert len(hist["loss"]) >= 1
+    assert len(hist["val"]) == len(hist["loss"])   # eval_every=1
+    # jsonl metrics written
+    lines = open(tmp_path / "metrics.jsonl").read().splitlines()
+    events = [json.loads(l)["event"] for l in lines]
+    assert "train_epoch" in events and "val" in events
+    # periodic full-state checkpoints exist
+    assert os.path.exists(tmp_path / "ckpt" / "ckpt_epoch0001.npz")
+    # early stop saved a best model; epoch cursor advanced
+    assert os.path.exists(mon.best_path)
+    assert eng._epoch == len(hist["loss"])

@@ -157,6 +157,7 @@ class ShardedEngine:
         }
         self._blocks: Dict[str, np.ndarray] = {}
         self._placed = False
+        self._epoch = 0          # completed-epoch cursor (resume)
         self.dispatch_count = 0
         self._fuse = max(int(tr.fuse_steps), 1)
         self._max_inflight = tr.max_inflight_batches
@@ -621,18 +622,164 @@ class ShardedEngine:
         vals = np.asarray(acc)                   # ONE fetch per pass
         return float(vals[0] / max(vals[1], 1.0))
 
-    def fit(self, epochs: int, log=print) -> Dict[str, list]:
-        history = {"loss": [], "val": []}
-        for e in range(epochs):
+    def fit(self, epochs: Optional[int] = None, log=print,
+            eval_every: int = 1,
+            early_stop=None,
+            checkpoint_dir: Optional[str] = None,
+            checkpoint_every: int = 0,
+            log_dir: Optional[str] = None,
+            val_snapshot: bool = False) -> Dict[str, list]:
+        """Epoch driver with OPERATIONAL PARITY to engine/train.Engine.fit
+        (VERDICT r3 item 3): eval_every, patience-based early stopping
+        with best-model restore, periodic full-state checkpoints, jsonl
+        metrics, and the val-snapshot stream protection — a multi-chip
+        run recovers by restart-from-checkpoint exactly like the
+        single-chip path (SURVEY.md §5.3)."""
+        from ..utils.metrics import MetricsLogger
+        metrics = MetricsLogger(log_dir)
+        if not getattr(self, "_warmed", False):
+            self.warm_buckets()
+            self._warmed = True
+        epochs = epochs or self.config.train.epoch
+        history = {"loss": [], "val": [], "train_s": [], "val_s": []}
+        e0 = self._epoch
+        for e in range(e0, e0 + epochs):
             t0 = time.time()
             stats = self.train_epoch()
+            self._epoch = e + 1
+            t1 = time.time()
             log(f"[sharded {dict(self.mesh.shape)}] Epoch: {e + 1:02d}, "
                 f"Loss: {stats['loss']:.4f}, AP: {stats['ap']:.4f}, "
-                f"AUC: {stats['auc']:.4f}, "
-                f"Time (s): {time.time() - t0:.4f}")
+                f"AUC: {stats['auc']:.4f}, Time (s): {t1 - t0:.4f}")
             history["loss"].append(stats["loss"])
-            if self.data.val_ns is not None:
+            history["train_s"].append(t1 - t0)
+            metrics.log("train_epoch", epoch=e + 1, loss=stats["loss"],
+                        ap=stats["ap"], auc=stats["auc"],
+                        events=stats["events"], seconds=round(t1 - t0, 4),
+                        mesh=dict(self.mesh.shape))
+            val = None
+            if (e + 1) % eval_every == 0 and self.data.val_ns is not None:
+                t0 = time.time()
+                snap = self.snapshot_stream() if val_snapshot else None
                 val = self.evaluate("val")
-                log(f"[sharded] Validation mrr: {val:.4f}")
+                if snap is not None:
+                    self.restore_stream(snap)
+                t1 = time.time()
+                log(f"[sharded] Validation {self.data.eval_metric}: "
+                    f"{val:.4f}, elapsed Time (s): {t1 - t0:.4f}")
                 history["val"].append(val)
+                history["val_s"].append(t1 - t0)
+                metrics.log("val", epoch=e + 1,
+                            metric=self.data.eval_metric, value=val,
+                            seconds=round(t1 - t0, 4))
+            if checkpoint_dir and checkpoint_every \
+                    and (e + 1) % checkpoint_every == 0:
+                self.save_checkpoint(
+                    f"{checkpoint_dir}/ckpt_epoch{e + 1:04d}.npz")
+            if early_stop is not None and val is not None:
+                if early_stop.step_check(val, self._model_state()):
+                    log(f"INFO: early stopping at epoch {e + 1} "
+                        f"(best epoch {early_stop.best_epoch})")
+                    if early_stop.best_path:
+                        st = early_stop.load_best(self._model_state())
+                        self._restore_model_state(st)
+                    break
+        metrics.close()
         return history
+
+    # -------------------------------------------- snapshots / checkpoints
+    def snapshot_stream(self):
+        """Backup ALL streaming state (host packer + device memory) —
+        same API as engine/train.Engine.snapshot_stream."""
+        snap = {"packer": self.packer.snapshot()}
+        if self.use_memory:
+            snap["mem_state"] = jax.tree.map(jnp.array, self.mem_state)
+        return snap
+
+    def restore_stream(self, snap) -> None:
+        self.packer.restore(snap["packer"])
+        if self.use_memory:
+            mem = jax.tree.map(jnp.array, snap["mem_state"])
+            if self._placed:
+                mem_sh = self._mem_sharding()
+                mem = MemoryState(*[jax.device_put(a, s)
+                                    for a, s in zip(mem, mem_sh)])
+            self.mem_state = mem
+
+    def _model_state(self):
+        return {"params": self.params}
+
+    def _restore_model_state(self, state) -> None:
+        params = jax.tree.map(jnp.asarray, state["params"])
+        if self._placed:
+            params = jax.device_put(params, self._shardings()["rep"])
+        self.params = params
+
+    def _full_state(self):
+        """Everything needed for deterministic resume (SURVEY.md §5.3
+        multi-host recovery = restart from checkpoint): learnables,
+        optimizer, sharded memory state, host packer state, RNG and
+        cursors.  Sharded leaves serialize as gathered numpy arrays."""
+        from ..engine.checkpoint import rng_state_to_array
+        st = {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "rng": jax.random.key_data(self._rng),
+            "neg_rng": rng_state_to_array(self.neg_sampler.rng),
+            "epoch": np.int64(self._epoch),
+            "placed": np.int64(int(self._placed)),
+            "packer": {
+                "cache_nbr": self.packer.cache_nbr,
+                "cache_eid": self.packer.cache_eid,
+                "cache_t": self.packer.cache_t,
+                "clock": self.packer.clock,
+                "cur_e_id": np.int64(self.packer.cur_e_id),
+                "mail_ptr": self.packer.mail_ptr,
+            },
+        }
+        if self.use_memory:
+            st["mem_state"] = self.mem_state
+        return st
+
+    def save_checkpoint(self, path: str) -> None:
+        import os
+
+        from ..engine.checkpoint import save_pytree
+        # place first so the saved memory-state shapes are the padded
+        # on-mesh ones — load_checkpoint mirrors this
+        self._place_state()
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        save_pytree(path, self._full_state())
+
+    def load_checkpoint(self, path: str) -> None:
+        from ..engine.checkpoint import (load_pytree,
+                                         rng_state_from_array)
+        self._place_state()
+        st = load_pytree(path, self._full_state())
+        sh = self._shardings()
+        self.params = jax.device_put(
+            jax.tree.map(jnp.asarray, st["params"]), sh["rep"])
+        self.opt_state = jax.device_put(
+            jax.tree.map(jnp.asarray, st["opt_state"]), sh["rep"])
+        self._rng = jax.random.wrap_key_data(
+            jnp.asarray(st["rng"]), impl=self.config.train.rng_impl)
+        self.neg_sampler.rng = rng_state_from_array(st["neg_rng"])
+        self._epoch = int(st["epoch"])
+        pk = st["packer"]
+        if hasattr(self.packer, "load_state"):     # native packer
+            self.packer.load_state(
+                np.asarray(pk["cache_nbr"]), np.asarray(pk["cache_eid"]),
+                np.asarray(pk["cache_t"]), np.asarray(pk["clock"]),
+                int(pk["cur_e_id"]), np.asarray(pk["mail_ptr"]))
+        else:
+            self.packer.cache_nbr = np.asarray(pk["cache_nbr"])
+            self.packer.cache_eid = np.asarray(pk["cache_eid"])
+            self.packer.cache_t = np.asarray(pk["cache_t"])
+            self.packer.clock = np.asarray(pk["clock"])
+            self.packer.cur_e_id = int(pk["cur_e_id"])
+            self.packer.mail_ptr = np.asarray(pk["mail_ptr"])
+        if self.use_memory:
+            mem_sh = self._mem_sharding()
+            self.mem_state = MemoryState(*[
+                jax.device_put(jnp.asarray(a), s)
+                for a, s in zip(st["mem_state"], mem_sh)])
