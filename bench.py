@@ -92,6 +92,22 @@ def _measure(engine, n_windows: int, epochs_per_window: int = 4):
     return rates
 
 
+def _measure_eval(engine):
+    """Edges/s of a full M=999 chunked validation pass (the other half
+    of the TGB protocol, reference epoch_utils.py:15-165; VERDICT r3
+    item 6).  One untimed pass compiles the eval buckets; the stream
+    state is snapshot/restored around both passes so the measurement
+    does not perturb training state."""
+    snap = engine.snapshot_stream()
+    engine.evaluate("val")                       # compile pass
+    engine.restore_stream(snap)
+    t0 = time.perf_counter()
+    engine.evaluate("val")        # blocks on its single end-of-pass fetch
+    dt = time.perf_counter() - t0
+    engine.restore_stream(snap)
+    return float(engine.data.val_mask.sum()) / dt, dt
+
+
 def _engine_cost(engine, frozen: bool):
     """Analytic per-step cost from the engine's actual shape buckets."""
     from tgb_tgn_dgl_tpu.utils.flops import count_params, flagship_step_cost
@@ -152,9 +168,19 @@ def main():
     mfu = mfu_report(eps, _engine_cost(engine, frozen=True),
                      engine.config.train.batch_size)
 
+    # the M=999 chunked eval path (VERDICT r3 item 6): skipped in smoke
+    # runs (BENCH_MEASURE_BATCHES caps train batches but evaluate always
+    # runs the full protocol) unless BENCH_EVAL=1 forces it
+    eval_eps = eval_s = None
+    measure_eval = (os.environ.get("BENCH_SKIP_EVAL", "0") != "1"
+                    and (not sanity or os.environ.get("BENCH_EVAL") == "1"))
+    if measure_eval:
+        eval_eps, eval_s = _measure_eval(engine)
+
     # real mailbox-memory flagship (frozen_memory=False)
     memory_eps = None
     mem_mfu = None
+    mem_eval_eps = mem_eval_s = None
     if os.environ.get("BENCH_SKIP_MEMORY", "0") != "1":
         mem_engine = Engine(data, make_config(frozen=False))
         mem_engine.blocks_for("train")
@@ -165,6 +191,8 @@ def main():
         mem_mfu = mfu_report(memory_eps,
                              _engine_cost(mem_engine, frozen=False),
                              mem_engine.config.train.batch_size)
+        if measure_eval:
+            mem_eval_eps, mem_eval_s = _measure_eval(mem_engine)
 
     baseline_eps = None
     try:
@@ -189,10 +217,16 @@ def main():
         "tflops": round(mfu["tflops"], 3),
         "mfu": round(mfu["mfu"], 4),
         "hbm_gbps": round(mfu["hbm_gbps"], 1),
+        "eval_eps": round(eval_eps, 1) if eval_eps is not None else None,
+        "eval_s": round(eval_s, 3) if eval_s is not None else None,
         "memory_eps": (round(memory_eps, 1)
                        if memory_eps is not None else None),
         "memory_mfu": (round(mem_mfu["mfu"], 4)
                        if mem_mfu is not None else None),
+        "memory_eval_eps": (round(mem_eval_eps, 1)
+                            if mem_eval_eps is not None else None),
+        "memory_eval_s": (round(mem_eval_s, 3)
+                          if mem_eval_s is not None else None),
     }
     print(json.dumps(out))
 

@@ -271,3 +271,40 @@ def test_warm_buckets_pre_ratchets_eval_profiles(tiny_data):
         assert eng.packer._sticky[k] == before[k], (
             f"eval profile {k} ratcheted during the real pass: "
             f"{before[k]} -> {eng.packer._sticky[k]}")
+
+
+def test_warm_buckets_uniform_strategy(tiny_data):
+    """warm_buckets no longer skips strategy='uniform' (VERDICT r3
+    weak-2): after warming, a full first epoch + first eval never
+    ratchet the sticky shape buckets (each ratchet = a fresh 20-300 s
+    XLA compile on tunneled TPUs)."""
+    raw = dict(TINY)
+    raw["sampling"] = [dict(neighbor=[5], strategy="uniform")]
+    eng = Engine(tiny_data, parse_config_dict(raw))
+    eng.warm_buckets(n_batches=10**9, eval_batches=10**9)
+    before = {k: dict(v) for k, v in eng.packer._sticky.items()}
+    assert before, "uniform warm produced no sticky profiles"
+    eng.train_epoch()
+    eng.evaluate("val")
+    assert {k: dict(v) for k, v in eng.packer._sticky.items()} == before
+    # warming must not advance the real stream (cache inserts still
+    # happen during the real epoch only)
+    assert eng.packer.cur_e_id == int(np.sum(tiny_data.train_mask)
+                                      + np.sum(tiny_data.val_mask))
+
+
+def test_warm_buckets_device_cache_mode(tiny_data):
+    """warm_buckets covers device-cache mode via a throwaway lean
+    packer: the first epoch + eval run inside the pre-warmed lean-wire
+    shape buckets with no mid-run ratchets."""
+    raw = dict(TINY)
+    raw["train"] = [dict(epoch=2, batch_size=64, lr=1e-3, dropout=0.1,
+                         att_dropout=0.1, device_cache=True)]
+    eng = Engine(tiny_data, parse_config_dict(raw))
+    assert eng.device_cache, "config did not enable device-cache mode"
+    eng.warm_buckets(n_batches=10**9, eval_batches=10**9)
+    before = {k: dict(v) for k, v in eng.packer._sticky.items()}
+    assert before, "device-cache warm produced no sticky profiles"
+    eng.train_epoch()
+    eng.evaluate("val")
+    assert {k: dict(v) for k, v in eng.packer._sticky.items()} == before

@@ -211,3 +211,103 @@ def test_native_dedup_wire_matches_python():
             np.testing.assert_array_equal(getattr(a, nm), getattr(b, nm),
                                           err_msg=nm)
         assert a.cur_e_id == b.cur_e_id
+
+
+def test_insert_out_of_order_eid_matches_oracle():
+    """packer_insert's O(K) merge assumes non-decreasing e_id per call;
+    an out-of-order call must DETECT this and degrade to per-event
+    inserts that still match the lexsorting numpy oracle bit-for-bit
+    (ADVICE r3: previously silently wrong)."""
+    from tgb_tgn_dgl_tpu.data.native_packer import NativeStreamPacker
+
+    N, K = 40, 5
+    cfg = PackerConfig(num_neighbors=K, batch_size=64)
+    py = StreamPacker(N, cfg)
+    cc = NativeStreamPacker(N, cfg)
+    rng = np.random.default_rng(5)
+    for trial in range(4):
+        B = 30
+        src = rng.integers(0, N, B).astype(np.int32)
+        dst = rng.integers(0, N, B).astype(np.int32)
+        t = np.sort(rng.random(B).astype(np.float32)) + trial
+        e_id = rng.permutation(B).astype(np.int64) + trial * B  # shuffled
+        py.insert(src, dst, t, e_id=e_id)
+        cc.insert(src, dst, t, e_id=e_id)
+        np.testing.assert_array_equal(py.cache_eid, cc.cache_eid, trial)
+        np.testing.assert_array_equal(py.cache_nbr, cc.cache_nbr)
+        np.testing.assert_array_equal(py.cache_t, cc.cache_t)
+        assert py.cur_e_id == cc.cur_e_id
+
+
+def test_async_pack_ahead_bit_exact():
+    """The C++ async pack-ahead (submit/wait/read) must produce wires
+    BIT-IDENTICAL to the synchronous pack_wire_dedup path, with equal
+    post-stream state — same events, two packers, one driven async."""
+    from tgb_tgn_dgl_tpu.data.dependency import dependency_aware_batch
+    from tgb_tgn_dgl_tpu.data.native_packer import NativeStreamPacker
+
+    data = synthetic("async-par", num_edges=900, num_nodes=120, msg_dim=4,
+                     num_neg=1, seed=2)
+    B = 150
+    cfg = PackerConfig(num_neighbors=6, batch_size=B, mailbox_size=2)
+    a = NativeStreamPacker(data.num_nodes, cfg)     # sync reference
+    b = NativeStreamPacker(data.num_nodes, cfg)     # async
+    if not b.async_available():
+        pytest.skip("async API not in libhostops.so")
+    rng = np.random.default_rng(4)
+    blocks = dependency_aware_batch(data.src, data.dst, B)
+    pend = None
+    got = []
+    want = []
+    for lo in range(0, 900, B):
+        rows = np.arange(lo, lo + B)
+        src, dst, t = data.src[rows], data.dst[rows], data.t[rows]
+        neg = rng.integers(0, data.num_nodes, B).astype(np.int32)
+        args = (src, dst, t, rows, blocks[rows], neg)
+        want.append(a.pack_wire_dedup(*args))
+        if pend is not None:
+            got.append(b.pack_wire_dedup_fetch())
+        assert b.pack_wire_dedup_submit(*args)
+        pend = args
+    got.append(b.pack_wire_dedup_fetch())
+    assert len(got) == len(want)
+    for i, (g, w) in enumerate(zip(got, want)):
+        assert (g is None) == (w is None)
+        gw, gp = g
+        ww, wp = w
+        assert gp == wp
+        for f in gw._fields:
+            x, y = getattr(gw, f), getattr(ww, f)
+            assert x.dtype == y.dtype, (i, f, x.dtype, y.dtype)
+            np.testing.assert_array_equal(x, y,
+                                          err_msg=f"batch {i} field {f}")
+    for nm in ("cache_nbr", "cache_eid", "cache_t", "clock", "mail_ptr"):
+        np.testing.assert_array_equal(getattr(a, nm), getattr(b, nm),
+                                      err_msg=nm)
+    assert a.cur_e_id == b.cur_e_id
+
+
+def test_async_interleaved_sync_calls_wait():
+    """Synchronous packer entry points must transparently wait for an
+    outstanding async job (wait_idle) — state reads after submit see the
+    COMPLETED pack."""
+    from tgb_tgn_dgl_tpu.data.dependency import get_block
+    from tgb_tgn_dgl_tpu.data.native_packer import NativeStreamPacker
+
+    data = synthetic("async-sync", num_edges=200, num_nodes=50, msg_dim=4,
+                     num_neg=1, seed=3)
+    B = 100
+    cfg = PackerConfig(num_neighbors=4, batch_size=B)
+    p = NativeStreamPacker(data.num_nodes, cfg)
+    if not p.async_available():
+        pytest.skip("async API not in libhostops.so")
+    rows = np.arange(B)
+    src, dst, t = data.src[rows], data.dst[rows], data.t[rows]
+    neg = np.zeros(B, np.int32)
+    assert p.pack_wire_dedup_submit(src, dst, t, rows,
+                                    get_block(src, dst), neg)
+    # state access while the job may still be running: must block until
+    # the pack completed, then reflect the advanced stream
+    assert p.cur_e_id == B
+    wire, _ = p.pack_wire_dedup_fetch()
+    assert wire is not None

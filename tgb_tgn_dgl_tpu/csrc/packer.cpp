@@ -23,8 +23,12 @@
 //   packer_pack_fill(...) writes into numpy-allocated buckets.
 
 #include <algorithm>
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <memory>
+#include <mutex>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -64,6 +68,45 @@ struct PendingBatch {
   int64_t p_exact = 0;
 };
 
+// Staging buffers for one asynchronously-packed DedupWire batch: the
+// worker thread fills these; the (cheap) main-thread read copies them
+// into numpy buffers with the dtype narrowing the python oracle applies.
+struct DedupStaging {
+  std::vector<int32_t> ev_src, ev_dst, ev_idx_out, ev_neg;
+  std::vector<float> ev_t;
+  std::vector<uint8_t> ev_valid;
+  std::vector<int32_t> ev_src_slot, ev_pos_slot, ev_neg_slot;
+  std::vector<int32_t> uniq_nid, root_loc, root_cr, cr_loc, cr_feat;
+  std::vector<float> cache_dt, self_dt, ia_dt;
+  std::vector<int32_t> ne_ent, intra_lo, intra_cnt, intra_start, mw_slot;
+};
+
+// One-deep pack-ahead pipeline (VERDICT r3 item 2): the host pack is
+// ~40% of a warm epoch and fully native, so batch i+1 packs on a C++
+// worker thread while python dispatches batch i.  Exactly ONE job may be
+// outstanding (the packer is a sequential state machine); every other
+// entry point waits for the worker via wait_idle, so the pipeline is
+// invisible to synchronous callers.
+struct AsyncState {
+  std::thread worker;
+  std::mutex mu;
+  std::condition_variable cv;
+  bool busy = false;      // worker is executing a job
+  bool ready = false;     // results staged, waiting for read
+  bool stop = false;
+  // job inputs (copied at submit)
+  std::vector<int32_t> src, dst, blocks, neg;
+  std::vector<float> t;
+  std::vector<int64_t> ev_idx;
+  int64_t braw = 0, M = 1, B = 0, root_lo = 128, cap_p = -1;
+  int32_t eval_mode = 0, insert = 1, write_mail = 1;
+  int64_t st_P = 0, st_R = 0, st_Ub = 0, st_Ur = 0, st_Ei = 0;  // sticky in
+  // job outputs
+  int64_t P = 0, R = 0, Ub = 0, Ur = 0, Ei = 0;
+  int32_t fallback = 0;   // P > 255: state untouched, caller repacks sync
+  DedupStaging out;
+};
+
 struct Packer {
   int64_t N;
   int32_t K;
@@ -84,7 +127,40 @@ struct Packer {
   // (N,) per-node run extents into pending.run_pos for the CURRENT
   // pending batch; run_lo = -1 means no run.  Reset with loc_of.
   std::vector<int64_t> run_lo, run_hi;
+  std::unique_ptr<AsyncState> async;
 };
+
+// Block until no async pack job is RUNNING (results may still be staged
+// awaiting read — that state is equivalent to "the pack already ran"
+// for every synchronous caller).  Called at the top of every entry
+// point that touches packer state.
+void wait_idle(Packer* p) {
+  if (!p->async) return;
+  std::unique_lock<std::mutex> lk(p->async->mu);
+  p->async->cv.wait(lk, [&] { return !p->async->busy; });
+}
+
+// Shape-bucket formulas — EXACT twins of data/packer.py::_bucket_pow2 /
+// _bucket_p (the async worker must choose the same jit shape buckets the
+// python sticky tables would).
+int64_t bucket_pow2(int64_t n, int64_t lo) {
+  int64_t b = lo;
+  while (b < n) b *= 2;
+  if (b > lo && b % 8 == 0) {
+    for (int64_t q = 5; q <= 7; ++q) {
+      int64_t c = b / 8 * q;
+      if (c >= n) return c;
+    }
+  }
+  return b;
+}
+
+int64_t bucket_p(int64_t p_exact) {
+  if (p_exact <= 0) return 0;
+  int64_t b = 1;
+  while (b < p_exact) b *= 2;
+  return b;
+}
 
 }  // namespace
 
@@ -107,10 +183,23 @@ void* packer_new(int64_t num_nodes, int32_t k, int32_t s) {
   return p;
 }
 
-void packer_free(void* h) { delete static_cast<Packer*>(h); }
+void packer_free(void* h) {
+  auto* p = static_cast<Packer*>(h);
+  if (p->async) {
+    {
+      std::unique_lock<std::mutex> lk(p->async->mu);
+      p->async->cv.wait(lk, [&] { return !p->async->busy; });
+      p->async->stop = true;
+    }
+    p->async->cv.notify_all();
+    if (p->async->worker.joinable()) p->async->worker.join();
+  }
+  delete p;
+}
 
 void packer_reset(void* h) {
   auto* p = static_cast<Packer*>(h);
+  wait_idle(p);
   std::fill(p->cache_eid.begin(), p->cache_eid.end(), int64_t{-1});
   std::fill(p->cache_t.begin(), p->cache_t.end(), -1.0f);
   std::fill(p->mail_ptr.begin(), p->mail_ptr.end(), int64_t{0});
@@ -121,6 +210,7 @@ void packer_reset(void* h) {
 void packer_get_state(void* h, int32_t* nbr, int64_t* eid, float* t,
                       float* clock, int64_t* mail_ptr, int64_t* cur_e_id) {
   auto* p = static_cast<Packer*>(h);
+  wait_idle(p);
   std::memcpy(nbr, p->cache_nbr.data(), p->cache_nbr.size() * 4);
   std::memcpy(eid, p->cache_eid.data(), p->cache_eid.size() * 8);
   std::memcpy(t, p->cache_t.data(), p->cache_t.size() * 4);
@@ -133,6 +223,7 @@ void packer_set_state(void* h, const int32_t* nbr, const int64_t* eid,
                       const float* t, const float* clock,
                       const int64_t* mail_ptr, int64_t cur_e_id) {
   auto* p = static_cast<Packer*>(h);
+  wait_idle(p);
   std::memcpy(p->cache_nbr.data(), nbr, p->cache_nbr.size() * 4);
   std::memcpy(p->cache_eid.data(), eid, p->cache_eid.size() * 8);
   std::memcpy(p->cache_t.data(), t, p->cache_t.size() * 4);
@@ -144,10 +235,25 @@ void packer_set_state(void* h, const int32_t* nbr, const int64_t* eid,
 // Undirected recency insert, last-K per node by (eid desc, cache-first,
 // dst-half-first) — parity with StreamPacker.insert / reference
 // neighbor_loader.py:52-104.
-void packer_insert(void* h, const int32_t* src, const int32_t* dst,
-                   const float* t, const int64_t* e_id, int64_t b) {
-  auto* p = static_cast<Packer*>(h);
+static void insert_impl(Packer* p, const int32_t* src, const int32_t* dst,
+                        const float* t, const int64_t* e_id, int64_t b) {
   if (b == 0) return;
+  // Contract: e_id must be NON-DECREASING within a call — the O(K)
+  // two-way merge below relies on the per-node new-entry list being
+  // eid-desc, which holds only then.  The numpy oracle lexsorts and
+  // accepts any order; on violation, degrade to per-event calls (each
+  // trivially ordered), which reproduces the oracle bit-for-bit: on
+  // equal eids the earlier-inserted entry wins the stable merge, the
+  // same earlier-position-wins rule as the oracle's stable argsort.
+  if (e_id) {
+    for (int64_t i = 1; i < b; ++i) {
+      if (e_id[i] < e_id[i - 1]) {
+        for (int64_t j = 0; j < b; ++j)
+          insert_impl(p, src + j, dst + j, t + j, e_id + j, 1);
+        return;
+      }
+    }
+  }
   const int32_t K = p->K;
   // Semantics (bit-parity with StreamPacker.insert / reference
   // neighbor_loader.py:52-104): per node, stable-desc-sort by eid of
@@ -211,13 +317,19 @@ void packer_insert(void* h, const int32_t* src, const int32_t* dst,
   p->cur_e_id = std::max(p->cur_e_id, max_eid + 1);
 }
 
+void packer_insert(void* h, const int32_t* src, const int32_t* dst,
+                   const float* t, const int64_t* e_id, int64_t b) {
+  auto* p = static_cast<Packer*>(h);
+  wait_idle(p);
+  insert_impl(p, src, dst, t, e_id, b);
+}
+
 // Phase 1: compute sizes.  out_sizes = {total_roots, p_exact}.
-void packer_pack_begin(void* h, const int32_t* src, const int32_t* dst,
+static void begin_impl(Packer* p, const int32_t* src, const int32_t* dst,
                        const float* t, const int64_t* ev_idx,
                        const int32_t* blocks, const int32_t* neg,
                        int64_t braw, int64_t m, int32_t eval_mode,
                        int64_t cap_p, int64_t* out_sizes) {
-  auto* p = static_cast<Packer*>(h);
   auto& pb = p->pending;
   // a previous begin whose fill never ran (pack_wire_dedup P>255
   // fallback) leaves the scratch markers set — release them first
@@ -381,6 +493,17 @@ void packer_pack_begin(void* h, const int32_t* src, const int32_t* dst,
   }
   out_sizes[5] = pb.k;
   out_sizes[6] = nnz4;
+}
+
+void packer_pack_begin(void* h, const int32_t* src, const int32_t* dst,
+                       const float* t, const int64_t* ev_idx,
+                       const int32_t* blocks, const int32_t* neg,
+                       int64_t braw, int64_t m, int32_t eval_mode,
+                       int64_t cap_p, int64_t* out_sizes) {
+  auto* p = static_cast<Packer*>(h);
+  wait_idle(p);
+  begin_impl(p, src, dst, t, ev_idx, blocks, neg, braw, m, eval_mode,
+             cap_p, out_sizes);
 }
 
 // Phase 2: fill python-allocated output buffers (bucketed shapes) and
@@ -558,8 +681,8 @@ void packer_pack_fill(
   }
 
   if (insert) {
-    packer_insert(h, pb.src.data(), pb.dst.data(), pb.t.data(),
-                  pb.ev_idx.data(), braw);
+    insert_impl(p, pb.src.data(), pb.dst.data(), pb.t.data(),
+                pb.ev_idx.data(), braw);
   }
   pb = PendingBatch();
 }
@@ -749,8 +872,8 @@ static void fill_wire_impl(
   for (int32_t v : pb.uniq) { p->loc_of[v] = -1; p->run_lo[v] = -1; }
 
   if (insert) {
-    packer_insert(h, pb.src.data(), pb.dst.data(), pb.t.data(),
-                  pb.ev_idx.data(), braw);
+    insert_impl(p, pb.src.data(), pb.dst.data(), pb.t.data(),
+                pb.ev_idx.data(), braw);
   }
   pb = PendingBatch();
 }
@@ -950,8 +1073,8 @@ void packer_pack_fill_lean(
 // node; the intra COO collapses to per-slot ranges into the node-major
 // event-position list plus a prefix-layout Δt list.  All outputs are
 // int32/float32 staging buffers; python narrows dtypes.
-void packer_pack_fill_wire3(
-    void* h, int64_t b_bucket, int64_t r_bucket, int32_t insert,
+static void fill3_impl(
+    Packer* p, int64_t b_bucket, int64_t r_bucket, int32_t insert,
     int32_t write_mail,
     // events (B,)
     int32_t* ev_src, int32_t* ev_dst, float* ev_t, int32_t* ev_idx_out,
@@ -974,7 +1097,6 @@ void packer_pack_fill_wire3(
     int32_t* intra_start,
     // mailbox plan, slots only (2B,), -1 = no write
     int32_t* mw_slot) {
-  auto* p = static_cast<Packer*>(h);
   auto& pb = p->pending;
   const int32_t K = p->K;
   const int64_t braw = pb.braw, M = pb.M;
@@ -1147,10 +1269,32 @@ void packer_pack_fill_wire3(
   for (int32_t v : pb.uniq) { p->loc_of[v] = -1; p->run_lo[v] = -1; }
 
   if (insert) {
-    packer_insert(h, pb.src.data(), pb.dst.data(), pb.t.data(),
-                  pb.ev_idx.data(), braw);
+    insert_impl(p, pb.src.data(), pb.dst.data(), pb.t.data(),
+                pb.ev_idx.data(), braw);
   }
   pb = PendingBatch();
+}
+
+void packer_pack_fill_wire3(
+    void* h, int64_t b_bucket, int64_t r_bucket, int32_t insert,
+    int32_t write_mail,
+    int32_t* ev_src, int32_t* ev_dst, float* ev_t, int32_t* ev_idx_out,
+    uint8_t* ev_valid, int32_t* ev_neg,
+    int32_t* ev_src_slot, int32_t* ev_pos_slot, int32_t* ev_neg_slot,
+    int64_t u_bucket, int32_t* uniq_nid,
+    int32_t* root_loc, int32_t* root_cr,
+    int64_t ur_bucket, int32_t* cr_loc, int32_t* cr_feat,
+    float* cache_dt, float* self_dt, int64_t ei_bucket, float* ia_dt,
+    int32_t* ne_ent, int32_t* intra_lo, int32_t* intra_cnt,
+    int32_t* intra_start,
+    int32_t* mw_slot) {
+  auto* p = static_cast<Packer*>(h);
+  wait_idle(p);
+  fill3_impl(p, b_bucket, r_bucket, insert, write_mail, ev_src, ev_dst,
+             ev_t, ev_idx_out, ev_valid, ev_neg, ev_src_slot, ev_pos_slot,
+             ev_neg_slot, u_bucket, uniq_nid, root_loc, root_cr,
+             ur_bucket, cr_loc, cr_feat, cache_dt, self_dt, ei_bucket,
+             ia_dt, ne_ent, intra_lo, intra_cnt, intra_start, mw_slot);
 }
 
 void packer_pack_fill_wire(
@@ -1194,6 +1338,212 @@ void packer_pack_fill_wire2(
                  cache_loc, cache_feat, cache_dt, self_dt, ei_bucket,
                  ia_row, ia_col, ia_loc, ia_feat, ia_dt, mw_node, mw_slot,
                  mw_partner, mw_t, mw_eid, cache_rslot, ia_rslot);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------- async
+// One-deep DedupWire pack-ahead (see AsyncState).  Protocol:
+//   submit(events, sticky buckets) -> worker runs begin + bucket ratchet
+//   + fill into C++ staging (advancing packer state);
+//   wait() -> blocks, returns {fallback, P, R, Ub, Ur, Ei};
+//   read() -> copies staging into numpy buffers with the oracle's dtype
+//   narrowing (u16_mask bits chosen by python with the same rules).
+// Exactly one job may be outstanding; all other entry points wait_idle.
+
+static void run_async_job(Packer* p) {
+  AsyncState& a = *p->async;
+  int64_t sizes[7] = {0, 0, 0, 0, 0, 0, 0};
+  begin_impl(p, a.src.data(), a.dst.data(), a.t.data(), a.ev_idx.data(),
+             a.blocks.data(), a.neg.data(), a.braw, a.M, a.eval_mode,
+             a.cap_p, sizes);
+  const int64_t total_roots = sizes[0], p_exact = sizes[1], U = sizes[2];
+  const int64_t n_ur = sizes[4], nnz4 = sizes[6];
+  int64_t P = a.cap_p >= 0 ? a.cap_p
+                           : std::max(a.st_P, bucket_p(p_exact));
+  if (P > 255) {
+    // not representable (intra_cnt ships as u8): state untouched, the
+    // pending scratch is released by the caller's synchronous re-begin
+    a.fallback = 1;
+    return;
+  }
+  a.fallback = 0;
+  a.P = P;
+  a.R = std::max(a.st_R,
+                 bucket_pow2(std::max<int64_t>(total_roots, 1), a.root_lo));
+  a.Ub = std::max(a.st_Ub, bucket_pow2(U + 1, a.root_lo));
+  a.Ur = std::max(a.st_Ur, bucket_pow2(n_ur + 1, a.root_lo));
+  a.Ei = std::max(a.st_Ei,
+                  bucket_pow2(std::max<int64_t>(nnz4, 4), 2 * a.B));
+  const int64_t B = a.B, M = a.M;
+  const int32_t K = p->K;
+  DedupStaging& o = a.out;
+  o.ev_src.resize(B);
+  o.ev_dst.resize(B);
+  o.ev_t.resize(B);
+  o.ev_idx_out.resize(B);
+  o.ev_valid.resize(B);
+  o.ev_neg.resize(B * M);
+  o.ev_src_slot.resize(B);
+  o.ev_pos_slot.resize(B);
+  o.ev_neg_slot.resize(B * M);
+  o.uniq_nid.resize(a.Ub);
+  o.root_loc.resize(a.R);
+  o.root_cr.resize(a.R);
+  o.cr_loc.resize(a.Ur * K);
+  o.cr_feat.resize(a.Ur * K);
+  o.cache_dt.resize(a.R * K);
+  o.self_dt.resize(a.R);
+  o.ia_dt.resize(a.Ei);
+  o.ne_ent.resize(2 * B * 2);
+  o.intra_lo.resize(a.R);
+  o.intra_cnt.resize(a.R);
+  o.intra_start.resize(a.R);
+  o.mw_slot.resize(2 * B);
+  fill3_impl(p, B, a.R, a.insert, a.write_mail,
+             o.ev_src.data(), o.ev_dst.data(), o.ev_t.data(),
+             o.ev_idx_out.data(), o.ev_valid.data(), o.ev_neg.data(),
+             o.ev_src_slot.data(), o.ev_pos_slot.data(),
+             o.ev_neg_slot.data(),
+             a.Ub, o.uniq_nid.data(), o.root_loc.data(), o.root_cr.data(),
+             a.Ur, o.cr_loc.data(), o.cr_feat.data(),
+             o.cache_dt.data(), o.self_dt.data(), a.Ei, o.ia_dt.data(),
+             o.ne_ent.data(), o.intra_lo.data(), o.intra_cnt.data(),
+             o.intra_start.data(), o.mw_slot.data());
+}
+
+static void async_worker_main(Packer* p) {
+  AsyncState& a = *p->async;
+  std::unique_lock<std::mutex> lk(a.mu);
+  for (;;) {
+    a.cv.wait(lk, [&] { return a.stop || a.busy; });
+    if (a.stop) return;
+    lk.unlock();
+    run_async_job(p);
+    lk.lock();
+    a.busy = false;
+    a.ready = true;
+    a.cv.notify_all();
+  }
+}
+
+extern "C" {
+
+int32_t packer_dedup_submit(
+    void* h, const int32_t* src, const int32_t* dst, const float* t,
+    const int64_t* ev_idx, const int32_t* blocks, const int32_t* neg,
+    int64_t braw, int64_t m, int32_t eval_mode, int64_t cap_p,
+    int32_t insert, int32_t write_mail, int64_t b_bucket,
+    int64_t root_lo, const int64_t* sticky5) {
+  auto* p = static_cast<Packer*>(h);
+  wait_idle(p);
+  if (!p->async) {
+    p->async.reset(new AsyncState());
+    p->async->worker = std::thread(async_worker_main, p);
+  }
+  AsyncState& a = *p->async;
+  a.src.assign(src, src + braw);
+  a.dst.assign(dst, dst + braw);
+  a.t.assign(t, t + braw);
+  a.ev_idx.assign(ev_idx, ev_idx + braw);
+  a.blocks.assign(blocks, blocks + braw);
+  a.neg.assign(neg, neg + braw * m);
+  a.braw = braw;
+  a.M = m;
+  a.eval_mode = eval_mode;
+  a.cap_p = cap_p;
+  a.insert = insert;
+  a.write_mail = write_mail;
+  a.B = b_bucket;
+  a.root_lo = root_lo;
+  a.st_P = sticky5[0];
+  a.st_R = sticky5[1];
+  a.st_Ub = sticky5[2];
+  a.st_Ur = sticky5[3];
+  a.st_Ei = sticky5[4];
+  {
+    std::lock_guard<std::mutex> lk(a.mu);
+    a.busy = true;
+    a.ready = false;
+  }
+  a.cv.notify_all();
+  return 1;
+}
+
+// Blocks until the submitted job completes.  dims = {fallback, P, R,
+// Ub, Ur, Ei}.  A fallback result is self-consuming (nothing to read).
+void packer_dedup_wait(void* h, int64_t* dims) {
+  auto* p = static_cast<Packer*>(h);
+  AsyncState& a = *p->async;
+  std::unique_lock<std::mutex> lk(a.mu);
+  a.cv.wait(lk, [&] { return a.ready; });
+  dims[0] = a.fallback;
+  dims[1] = a.P;
+  dims[2] = a.R;
+  dims[3] = a.Ub;
+  dims[4] = a.Ur;
+  dims[5] = a.Ei;
+  if (a.fallback) a.ready = false;
+}
+
+static void cp_narrow(const std::vector<int32_t>& src, void* dst,
+                      bool u16) {
+  if (u16) {
+    auto* d = static_cast<uint16_t*>(dst);
+    for (size_t i = 0; i < src.size(); ++i) d[i] = (uint16_t)src[i];
+  } else {
+    std::memcpy(dst, src.data(), src.size() * 4);
+  }
+}
+
+// u16_mask bits (python chooses with the exact enc() rules of the numpy
+// oracle): 0 node ids (ev_src/ev_dst/ev_neg), 1 root slots, 2 uniq_nid,
+// 3 root_loc, 4 root_cr, 5 cr_loc, 6 intra_lo, 7 intra_start,
+// 8 mw_slot-as-u8 (S <= 254; -1 encodes as 255).
+void packer_dedup_read(
+    void* h, int64_t u16_mask,
+    void* ev_src, void* ev_dst, float* ev_t, int32_t* ev_idx_out,
+    uint8_t* ev_valid, void* ev_neg,
+    void* ev_src_slot, void* ev_pos_slot, void* ev_neg_slot,
+    void* uniq_nid, void* root_loc, void* root_cr, void* cr_loc,
+    int32_t* cr_feat, float* cache_dt, float* self_dt, float* ia_dt,
+    int32_t* ne_ent, void* intra_lo, uint8_t* intra_cnt,
+    void* intra_start, void* mw_slot) {
+  auto* p = static_cast<Packer*>(h);
+  AsyncState& a = *p->async;
+  DedupStaging& o = a.out;
+  const bool bn = u16_mask & 1, bs = u16_mask & 2;
+  cp_narrow(o.ev_src, ev_src, bn);
+  cp_narrow(o.ev_dst, ev_dst, bn);
+  cp_narrow(o.ev_neg, ev_neg, bn);
+  cp_narrow(o.ev_src_slot, ev_src_slot, bs);
+  cp_narrow(o.ev_pos_slot, ev_pos_slot, bs);
+  cp_narrow(o.ev_neg_slot, ev_neg_slot, bs);
+  cp_narrow(o.uniq_nid, uniq_nid, u16_mask & 4);
+  cp_narrow(o.root_loc, root_loc, u16_mask & 8);
+  cp_narrow(o.root_cr, root_cr, u16_mask & 16);
+  cp_narrow(o.cr_loc, cr_loc, u16_mask & 32);
+  cp_narrow(o.intra_lo, intra_lo, u16_mask & 64);
+  cp_narrow(o.intra_start, intra_start, u16_mask & 128);
+  std::memcpy(ev_t, o.ev_t.data(), o.ev_t.size() * 4);
+  std::memcpy(ev_idx_out, o.ev_idx_out.data(), o.ev_idx_out.size() * 4);
+  std::memcpy(ev_valid, o.ev_valid.data(), o.ev_valid.size());
+  std::memcpy(cr_feat, o.cr_feat.data(), o.cr_feat.size() * 4);
+  std::memcpy(cache_dt, o.cache_dt.data(), o.cache_dt.size() * 4);
+  std::memcpy(self_dt, o.self_dt.data(), o.self_dt.size() * 4);
+  std::memcpy(ia_dt, o.ia_dt.data(), o.ia_dt.size() * 4);
+  std::memcpy(ne_ent, o.ne_ent.data(), o.ne_ent.size() * 4);
+  for (size_t i = 0; i < o.intra_cnt.size(); ++i)
+    intra_cnt[i] = (uint8_t)o.intra_cnt[i];
+  if (u16_mask & 256) {
+    auto* d = static_cast<uint8_t*>(mw_slot);
+    for (size_t i = 0; i < o.mw_slot.size(); ++i)
+      d[i] = o.mw_slot[i] >= 0 ? (uint8_t)o.mw_slot[i] : (uint8_t)255;
+  } else {
+    std::memcpy(mw_slot, o.mw_slot.data(), o.mw_slot.size() * 4);
+  }
+  std::lock_guard<std::mutex> lk(a.mu);
+  a.ready = false;
 }
 
 }  // extern "C"

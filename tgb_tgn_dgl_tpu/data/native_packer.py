@@ -77,6 +77,21 @@ def _lib():
                 f32p, f32p, c.c_int64, f32p,                 # dt outputs
                 i32p, i32p, i32p, i32p,                      # intra ranges
                 i32p]                                        # mw_slot
+        if hasattr(lib, "packer_dedup_submit"):
+            vp = c.c_void_p
+            lib.packer_dedup_submit.argtypes = [
+                vp, i32p, i32p, f32p, i64p, i32p, i32p,
+                c.c_int64, c.c_int64, c.c_int32, c.c_int64,
+                c.c_int32, c.c_int32, c.c_int64, c.c_int64, i64p]
+            lib.packer_dedup_submit.restype = c.c_int32
+            lib.packer_dedup_wait.argtypes = [vp, i64p]
+            lib.packer_dedup_read.argtypes = [
+                vp, c.c_int64,
+                vp, vp, f32p, i32p, u8p, vp,      # events
+                vp, vp, vp,                        # slot maps
+                vp, vp, vp, vp, i32p,              # uniq/locs/cr
+                f32p, f32p, f32p,                  # dt outputs
+                i32p, vp, u8p, vp, vp]             # intra + mw
         if hasattr(lib, "packer_pack_fill_lean"):
             lib.packer_pack_fill_lean.argtypes = [
                 c.c_void_p, c.c_int64, c.c_int64, c.c_int32,
@@ -507,6 +522,141 @@ class NativeStreamPacker:
             intra_start=enc(intra_start, Ei - 1),
             ia_dt=ia_dt,
             mw_slot=mw_out,
+        )
+        return wire, P
+
+    # --------------------------------------------------- async pack-ahead
+    # One-deep pipeline (VERDICT r3 item 2): submit ships the batch to a
+    # C++ worker thread that runs begin + bucket ratchet + fill while
+    # python dispatches the PREVIOUS batch; fetch blocks (usually
+    # already done), narrows dtypes in C++, and returns the DedupWire.
+    # Exactly one job may be outstanding; every synchronous packer entry
+    # point waits for the worker first, so interleaved sync calls stay
+    # correct (csrc/packer.cpp wait_idle).
+    def async_available(self) -> bool:
+        return hasattr(self._lib, "packer_dedup_submit")
+
+    def pack_wire_dedup_submit(self, src, dst, t, ev_idx, blocks, neg,
+                               eval_mode: bool = False, insert: bool = True,
+                               write_mail: bool = True) -> bool:
+        """Start packing on the C++ worker.  Returns False when the
+        batch can't go through the dedup path at all (caller packs
+        synchronously); P>255 fallback is detected at fetch time."""
+        cfg = self.cfg
+        Braw = len(src)
+        B = cfg.batch_size
+        if (Braw == 0 or Braw > B or cfg.layers != 1
+                or not self.async_available()):
+            return False
+        src = np.ascontiguousarray(src, np.int32)
+        dst = np.ascontiguousarray(dst, np.int32)
+        t = np.ascontiguousarray(t, np.float32)
+        ev_idx64 = np.ascontiguousarray(ev_idx, np.int64)
+        blocks = np.ascontiguousarray(blocks, np.int32)
+        neg2d = np.ascontiguousarray(np.asarray(neg, np.int32)
+                                     .reshape(Braw, -1))
+        M = neg2d.shape[1]
+        skey = (M, bool(eval_mode))
+        st = self._sticky.get(skey, {})
+        sticky5 = np.asarray(
+            [st.get("P", 0), st.get("R", 0), st.get("Ub", 0),
+             st.get("Ur", 0), st.get("Ei", 0)], np.int64)
+        cap_p = -1 if cfg.max_intra_block is None else cfg.max_intra_block
+        self._lib.packer_dedup_submit(
+            self._h, src, dst, t, ev_idx64, blocks, neg2d,
+            Braw, M, int(eval_mode), cap_p, int(insert), int(write_mail),
+            B, cfg.root_bucket_lo, sticky5)
+        self._async_meta = skey
+        return True
+
+    def pack_wire_dedup_fetch(self):
+        """(DedupWire, intra_width) for the submitted job, or None when
+        the worker flagged the P>255 fallback (state untouched — the
+        caller then packs the SAME batch synchronously via pack_wire)."""
+        from ..ops.wire import DedupWire
+
+        dims = np.zeros(6, np.int64)
+        self._lib.packer_dedup_wait(self._h, dims)
+        if dims[0]:
+            return None
+        P, R, Ub, Ur, Ei = (int(dims[1]), int(dims[2]), int(dims[3]),
+                            int(dims[4]), int(dims[5]))
+        skey = self._async_meta
+        M = skey[0]
+        cfg = self.cfg
+        # keep the python sticky table in sync (warm_buckets seeding and
+        # later sync packs read it)
+        if cfg.max_intra_block is None:
+            self._sticky_bucket(skey, "P", P)
+        self._sticky_bucket(skey, "R", R)
+        self._sticky_bucket(skey, "Ub", Ub)
+        self._sticky_bucket(skey, "Ur", Ur)
+        self._sticky_bucket(skey, "Ei", Ei)
+        B = cfg.batch_size
+        K = cfg.num_neighbors
+        N = self.N
+        S = cfg.mailbox_size
+
+        def u16(maxval):
+            return maxval <= 0xFFFF
+
+        bits = ((1 if u16(N - 1) else 0)
+                | (2 if u16(R - 1) else 0)
+                | (4 if u16(N) else 0)
+                | (8 if u16(Ub - 1) else 0)
+                | (16 if u16(Ur - 1) else 0)
+                | (32 if u16(Ub - 1) else 0)
+                | (64 if u16(2 * B - 1) else 0)
+                | (128 if u16(Ei - 1) else 0)
+                | (256 if S <= 254 else 0))
+
+        def alloc(shape, wide):
+            return np.empty(shape, np.uint16 if wide else np.int32)
+
+        ev_src = alloc(B, bits & 1)
+        ev_dst = alloc(B, bits & 1)
+        ev_t = np.empty(B, np.float32)
+        ev_idx_out = np.empty(B, np.int32)
+        ev_valid = np.empty(B, bool)
+        ev_neg = alloc((B, M), bits & 1)
+        ev_src_slot = alloc(B, bits & 2)
+        ev_pos_slot = alloc(B, bits & 2)
+        ev_neg_slot = alloc((B, M), bits & 2)
+        uniq_nid = alloc(Ub, bits & 4)
+        root_loc = alloc(R, bits & 8)
+        root_cr = alloc(R, bits & 16)
+        cr_loc = alloc((Ur, K), bits & 32)
+        cr_feat = np.empty((Ur, K), np.int32)
+        cache_dt = np.empty((R, K), np.float32)
+        self_dt = np.empty(R, np.float32)
+        ia_dt = np.empty(Ei, np.float32)
+        ne_ent = np.empty((2 * B, 2), np.int32)
+        intra_lo = alloc(R, bits & 64)
+        intra_cnt = np.empty(R, np.uint8)
+        intra_start = alloc(R, bits & 128)
+        mw_slot = np.empty(2 * B, np.uint8 if bits & 256 else np.int32)
+
+        d = lambda a: a.ctypes.data
+        self._lib.packer_dedup_read(
+            self._h, bits,
+            d(ev_src), d(ev_dst), ev_t, ev_idx_out,
+            ev_valid.view(np.uint8), d(ev_neg),
+            d(ev_src_slot), d(ev_pos_slot), d(ev_neg_slot),
+            d(uniq_nid), d(root_loc), d(root_cr), d(cr_loc), cr_feat,
+            cache_dt, self_dt, ia_dt,
+            ne_ent, d(intra_lo), intra_cnt, d(intra_start), d(mw_slot))
+
+        wire = DedupWire(
+            ev_src=ev_src, ev_dst=ev_dst, ev_t=ev_t, ev_idx=ev_idx_out,
+            ev_valid=ev_valid,
+            ev_neg=ev_neg if M > 1 else ev_neg[:, 0],
+            ev_src_slot=ev_src_slot, ev_pos_slot=ev_pos_slot,
+            ev_neg_slot=ev_neg_slot if M > 1 else ev_neg_slot[:, 0],
+            uniq_nid=uniq_nid, root_loc=root_loc, root_cr=root_cr,
+            cr_loc=cr_loc, cr_feat=cr_feat,
+            cache_dt=cache_dt, self_dt=self_dt,
+            ne_ent=ne_ent, intra_lo=intra_lo, intra_cnt=intra_cnt,
+            intra_start=intra_start, ia_dt=ia_dt, mw_slot=mw_slot,
         )
         return wire, P
 

@@ -1,0 +1,170 @@
+"""Node-range-owned streaming state — the scalable multi-host state
+maintenance design (SURVEY.md §7 phase 5; VERDICT r3 item 5).
+
+The shipped super-batch exchange (parallel/multihost.py) keeps every
+host's packer state FULLY REPLICATED: each host replays all N_hosts
+ranges of every super-batch, so per-host state-maintenance cost is
+O(total events) — flat in the number of hosts.  This module is the
+owner-partitioned alternative: host h maintains cache/clock/mail rows
+ONLY for its node range, processing only the events that touch owned
+nodes; rows another host needs at pack time travel in a boundary
+exchange (an all_to_all of requested rows).
+
+Why this is EXACT by construction: all three streaming-state components
+are *per-node* functions of the event stream —
+
+  * cache row of node u  = last-K-by-e_id merge over events with u as an
+    endpoint (reference neighbor_loader.py:52-104) — no other node's
+    state involved;
+  * clock[u]             = t of the last write touching u in the serial
+    block order (negatives → dst → src per block,
+    model_utils.py:77-83), or the global batch max under the eval wipe;
+  * mail_ptr[u]          = per-batch advance by min(#touches(u), S).
+
+So partitioning rows by owner loses nothing; the serial oracle equality
+is proven row-for-row in tests/test_owned_state.py.  What ownership
+buys: the O(K)-merge work per host drops from O(total touches) to
+O(owned touches) ≈ total/N_hosts (+ a cheap vectorized scan to filter),
+at the price of a pack-time boundary read of ~(roots × K) rows.  The
+cost model and the measured crossover vs the replicated exchange are in
+BASELINE.md ("multi-host host-work scaling").
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import numpy as np
+
+
+class NodeRangeOwnedState:
+    """Host h's authoritative streaming state for nodes [lo, hi).
+
+    API mirrors the state half of data/packer.StreamPacker, filtered to
+    the owned range; ``apply_batch`` consumes one batch of the global
+    stream (every host sees the same gathered super-batch events, as in
+    the existing exchange protocol — the difference is each host only
+    does heavy per-node work for its own rows)."""
+
+    def __init__(self, num_nodes: int, n_hosts: int, host: int, K: int,
+                 S: int):
+        self.N = num_nodes
+        self.lo = host * num_nodes // n_hosts
+        self.hi = (host + 1) * num_nodes // n_hosts
+        n_own = self.hi - self.lo
+        self.K = K
+        self.S = S
+        self.cache_nbr = np.zeros((n_own, K), np.int32)
+        self.cache_eid = np.full((n_own, K), -1, np.int64)
+        self.cache_t = np.full((n_own, K), -1.0, np.float32)
+        self.clock = np.zeros(n_own, np.float32)
+        self.mail_ptr = np.zeros(n_own, np.int64)
+        # heavy-work meter: per-node cache-merge entries processed (the
+        # O(K) merges dominate replicated-replay cost)
+        self.merge_entries = 0
+
+    def _own(self, nodes: np.ndarray) -> np.ndarray:
+        return (nodes >= self.lo) & (nodes < self.hi)
+
+    def apply_batch(self, src, dst, t, blocks, neg, e_id,
+                    eval_mode: bool = False) -> None:
+        """Consume one batch of the global stream in serial semantics,
+        updating owned rows only.  ``neg`` is (B,) or (B, M)."""
+        src = np.asarray(src, np.int64)
+        dst = np.asarray(dst, np.int64)
+        t = np.asarray(t, np.float32)
+        blocks = np.asarray(blocks, np.int64)
+        e_id = np.asarray(e_id, np.int64)
+        B = len(src)
+        if B == 0:
+            return
+        neg2d = np.asarray(neg, np.int64).reshape(B, -1)
+        M = neg2d.shape[1]
+
+        # --- clocks: the serial per-block write order exactly —
+        # eval wipe OR negative writes, then dst, then src per block
+        # (model_utils.py:77-83); numpy fancy assignment is
+        # last-occurrence-wins like the serial packer's.
+        def write(nodes, vals):
+            own = self._own(nodes)
+            self.clock[nodes[own] - self.lo] = vals[own]
+
+        k = int(blocks.max()) + 1
+        for i in range(k):
+            sel = np.nonzero(blocks == i)[0]
+            ti = t[sel]
+            if eval_mode:
+                if len(ti):
+                    self.clock[:] = ti.max()
+            else:
+                write(neg2d[sel].ravel(), np.repeat(ti, M))
+            write(dst[sel], ti)
+            write(src[sel], ti)
+
+        # --- mail ring pointers: advance by min(count, S) per owned node
+        mn = np.concatenate([src, dst])
+        own = self._own(mn)
+        uniq, counts = np.unique(mn[own], return_counts=True)
+        kept = np.minimum(counts, self.S)
+        idx = uniq - self.lo
+        self.mail_ptr[idx] = (self.mail_ptr[idx] + kept) % self.S
+
+        # --- cache rows: last-K-by-eid merge for OWNED endpoints only
+        # (same candidate order as StreamPacker.insert: dst-half before
+        # src-half on equal eid, cache wins ties)
+        nodes2 = np.concatenate([dst, src])
+        nbrs2 = np.concatenate([src, dst]).astype(np.int32)
+        eids2 = np.concatenate([e_id, e_id])
+        tt2 = np.concatenate([t, t])
+        half = np.concatenate([np.zeros(B, np.int8), np.ones(B, np.int8)])
+        own = self._own(nodes2)
+        nodes2, nbrs2, eids2, tt2, half = (
+            nodes2[own], nbrs2[own], eids2[own], tt2[own], half[own])
+        self.merge_entries += len(nodes2)
+        order = np.lexsort((half, eids2, nodes2))
+        nodes2, nbrs2, eids2, tt2 = (nodes2[order], nbrs2[order],
+                                     eids2[order], tt2[order])
+        uniq, starts = np.unique(nodes2, return_index=True)
+        ends = np.append(starts[1:], len(nodes2))
+        K = self.K
+        for u, a, b in zip(uniq, starts, ends):
+            r = u - self.lo
+            lo2 = max(a, b - K)
+            cat_e = np.concatenate([self.cache_eid[r], eids2[lo2:b]])
+            cat_n = np.concatenate([self.cache_nbr[r], nbrs2[lo2:b]])
+            cat_t = np.concatenate([self.cache_t[r], tt2[lo2:b]])
+            top = np.argsort(-cat_e, kind="stable")[:K]
+            self.cache_eid[r] = cat_e[top]
+            self.cache_nbr[r] = cat_n[top]
+            self.cache_t[r] = cat_t[top]
+
+
+def gather_rows(owners: Sequence[NodeRangeOwnedState],
+                nodes: np.ndarray) -> Tuple[np.ndarray, np.ndarray,
+                                            np.ndarray, np.ndarray, int]:
+    """Pack-time boundary exchange (simulated all_to_all): assemble
+    cache rows + clocks for an arbitrary node set from their owners.
+
+    Returns (cache_nbr (n,K), cache_eid, cache_t, clock (n,), bytes) —
+    ``bytes`` is the wire cost a real exchange would ship for the
+    REMOTE subset (every row element: nbr i32 + eid i64 + t f32 = 16 B/
+    entry + clock 4 B/node), the quantity the BASELINE.md cost model
+    charges."""
+    nodes = np.asarray(nodes, np.int64)
+    n = len(nodes)
+    K = owners[0].K
+    out_nbr = np.zeros((n, K), np.int32)
+    out_eid = np.full((n, K), -1, np.int64)
+    out_t = np.full((n, K), -1.0, np.float32)
+    out_clock = np.zeros(n, np.float32)
+    wire_bytes = 0
+    for h, ow in enumerate(owners):
+        m = (nodes >= ow.lo) & (nodes < ow.hi)
+        if not m.any():
+            continue
+        idx = nodes[m] - ow.lo
+        out_nbr[m] = ow.cache_nbr[idx]
+        out_eid[m] = ow.cache_eid[idx]
+        out_t[m] = ow.cache_t[idx]
+        out_clock[m] = ow.clock[idx]
+        wire_bytes += int(m.sum()) * (K * 16 + 4)
+    return out_nbr, out_eid, out_t, out_clock, wire_bytes
