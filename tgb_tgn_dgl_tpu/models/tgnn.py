@@ -209,12 +209,25 @@ def tgnn_embed(
             ee = (ef_d @ we[:F].astype(cdt)
                   + te_d @ we[F:].astype(cdt) + be.astype(cdt))
             el_prime = el + ee
-            if cfg.use_pallas and (det or cfg.attn_drop == 0.0):
+            if cfg.use_pallas:
                 from ..ops.pallas_attention import attention_core
 
+                # training default attn_drop > 0: draw the SAME flat
+                # bernoulli mask models/init.dropout would (bit-parity
+                # with the XLA path) and fold it into the fused kernel
+                # as a pre-scaled f32 multiplier (VERDICT r3 item 9)
+                dm = None
+                if not det and cfg.attn_drop > 0.0:
+                    keep = 1.0 - cfg.attn_drop
+                    bm = jax.random.bernoulli(
+                        k_attn, keep, (el_prime.size,)).reshape(
+                        el_prime.shape)
+                    dm = jnp.where(bm, jnp.float32(1.0 / keep),
+                                   jnp.float32(0.0))
                 out = attention_core(el_prime, er, mask,
                                      cfg.negative_slope, use_pallas=True,
-                                     interpret=cfg.pallas_interpret)
+                                     interpret=cfg.pallas_interpret,
+                                     drop_mask=dm)
             else:
                 logits = jax.nn.leaky_relu(el_prime + er[:, None, :],
                                            cfg.negative_slope)
