@@ -1167,6 +1167,85 @@ class Engine:
                 out = sync_pack(pend[2])
             yield pend[0], pend[1], out[0], out[1]
 
+    def _eval_chunk_args(self, split: str, fixed, B: int):
+        """Yields one entry per negative CHUNK of the eval protocol:
+        (lo, hi, first, last, mask_c, pack_args, pack_kwargs)."""
+        d = self.data
+        for lo, hi, rows, blk in self._iter_batches(split):
+            src, dst, t = d.src[rows], d.dst[rows], d.t[rows]
+            neg, mask = fixed.query_batch(lo, hi)
+            neg2d = np.asarray(neg).reshape(len(rows), -1)
+            M = neg2d.shape[1]
+            # pad+mask mode: (B, M) validity of each negative column
+            # (padded events' rows stay False; finalize masks them anyway)
+            mask2d = None
+            if mask is not None:
+                mask2d = np.zeros((B, M), bool)
+                mask2d[:len(rows)] = mask
+            Mc = eval_neg_chunk_size(self.config, M, hi - lo)
+            n_chunks = -(-M // Mc)
+            for ci in range(n_chunks):
+                last = ci == n_chunks - 1
+                neg_c = neg2d[:, ci * Mc:(ci + 1) * Mc]
+                mask_c = (None if mask2d is None
+                          else mask2d[:, ci * Mc:(ci + 1) * Mc])
+                # stream state (cache insert, mail writes, ring
+                # pointers) advances only on the last chunk; memory
+                # commits of PENDING mail are idempotent across chunks
+                yield (lo, hi, ci == 0, last, mask_c,
+                       (src, dst, t, rows, blk, neg_c),
+                       dict(eval_mode=True, insert=last,
+                            write_mail=last))
+
+    def _eval_packed_chunks(self, split: str, fixed, B: int):
+        """Packed eval chunks, (lo, hi, first, last, mask_c, wire, iw);
+        with the native packer the pack runs one chunk ahead on the C++
+        worker thread (same one-deep pipeline as _prefetch_pipelined —
+        submission order is chunk order, so the insert/write_mail state
+        advance on each batch's LAST chunk lands exactly where the
+        synchronous path puts it)."""
+        def sync_pack(args, kw):
+            out = self._pack_dedup(*args, kw["eval_mode"],
+                                   insert=kw["insert"],
+                                   write_mail=kw["write_mail"])
+            if out is not None:
+                return out
+            wire, iw = self.packer.pack_wire(*args, **kw)
+            return self._maybe_compact(wire, iw), iw
+
+        it = self._eval_chunk_args(split, fixed, B)
+        if not (self._wire_dedup
+                and getattr(self.packer, "async_available",
+                            lambda: False)()):
+            for lo, hi, first, last, mask_c, args, kw in it:
+                wire, iw = sync_pack(args, kw)
+                yield lo, hi, first, last, mask_c, wire, iw
+            return
+        pend = None              # (meta, args, kw) of the submitted job
+        for lo, hi, first, last, mask_c, args, kw in it:
+            meta = (lo, hi, first, last, mask_c)
+            if pend is not None:
+                out = self.packer.pack_wire_dedup_fetch()
+                if out is None:              # P>255: repack synchronously
+                    out = sync_pack(pend[1], pend[2])
+                pmeta = pend[0]
+                if self.packer.pack_wire_dedup_submit(*args, **kw):
+                    pend = (meta, args, kw)
+                    yield pmeta + out
+                else:
+                    pend = None
+                    yield pmeta + out
+                    yield meta + sync_pack(args, kw)
+            elif self.packer.pack_wire_dedup_submit(*args, **kw):
+                pend = (meta, args, kw)
+            else:
+                yield meta + sync_pack(args, kw)
+        if pend is not None:
+            out = self.packer.pack_wire_dedup_fetch()
+            if out is None:
+                out = sync_pack(pend[1], pend[2])
+            yield pend[0] + out
+
     def _pack_dedup(self, src, dst, t, rows, blk, neg, eval_mode,
                     insert=True, write_mail=True):
         """Try the deduplicated wire (ops/wire.DedupWire); returns
@@ -1432,66 +1511,42 @@ class Engine:
             throttle(handle)
             return opt, pes
 
-        for lo, hi, rows, blk in self._iter_batches(split):
-            src, dst, t = d.src[rows], d.dst[rows], d.t[rows]
-            neg, mask = fixed.query_batch(lo, hi)
-            neg = np.asarray(neg)
-            neg2d = neg.reshape(len(rows), -1)
-            M = neg2d.shape[1]
-            # pad+mask mode: (B, M) validity of each negative column
-            # (padded events' rows stay False; finalize masks them anyway)
-            mask2d = None
-            if mask is not None:
-                mask2d = np.zeros((B, M), bool)
-                mask2d[:len(rows)] = mask
-            Mc = eval_neg_chunk_size(self.config, M, hi - lo)
-            n_chunks = -(-M // Mc)
-            opt = jnp.zeros(B, jnp.int32)
-            pes = jnp.zeros(B, jnp.int32)
-            pend = []
-            pend_masks = []
-            pend_key = pend_iw = None
-            for ci in range(n_chunks):
-                last = ci == n_chunks - 1
-                neg_c = neg2d[:, ci * Mc:(ci + 1) * Mc]
-                mask_c = (None if mask2d is None
-                          else mask2d[:, ci * Mc:(ci + 1) * Mc])
-                # stream state (cache insert, mail writes, ring pointers)
-                # advances only on the last chunk; memory commits of
-                # PENDING mail are idempotent across chunks
-                out = self._pack_dedup(src, dst, t, rows, blk, neg_c,
-                                       True, insert=last, write_mail=last)
-                if out is not None:
-                    wire, iw = out
-                else:
-                    wire, iw = self.packer.pack_wire(
-                        src, dst, t, rows, blk, neg_c, eval_mode=True,
-                        insert=last, write_mail=last)
-                    wire = self._maybe_compact(wire, iw)
-                if not last and G > 1:
-                    key = (_wire_key(iw, wire), mask_c is None)
-                    if pend and key != pend_key:
-                        opt, pes = dispatch_chunks(pend, pend_masks,
-                                                   pend_iw, opt, pes)
-                        pend, pend_masks = [], []
-                    pend_key, pend_iw = key, iw
-                    pend.append(wire)
-                    pend_masks.append(mask_c)
-                    if len(pend) == G:
-                        opt, pes = dispatch_chunks(pend, pend_masks, iw,
-                                                   opt, pes)
-                        pend, pend_masks = [], []
-                    continue
-                if pend:
-                    opt, pes = dispatch_chunks(pend, pend_masks, pend_iw,
+        opt = pes = None
+        pend = []
+        pend_masks = []
+        pend_key = pend_iw = None
+        for (lo, hi, first, last, mask_c, wire,
+             iw) in self._eval_packed_chunks(split, fixed, B):
+            if first:
+                opt = jnp.zeros(B, jnp.int32)
+                pes = jnp.zeros(B, jnp.int32)
+                pend, pend_masks = [], []
+                pend_key = pend_iw = None
+            if not last and G > 1:
+                key = (_wire_key(iw, wire), mask_c is None)
+                if pend and key != pend_key:
+                    opt, pes = dispatch_chunks(pend, pend_masks,
+                                               pend_iw, opt, pes)
+                    pend, pend_masks = [], []
+                pend_key, pend_iw = key, iw
+                pend.append(wire)
+                pend_masks.append(mask_c)
+                if len(pend) == G:
+                    opt, pes = dispatch_chunks(pend, pend_masks, iw,
                                                opt, pes)
                     pend, pend_masks = [], []
-                # the LAST chunk advances stream state -> per-chunk path
-                opt, pes = dispatch_chunk(wire, iw, opt, pes,
-                                          neg_mask=mask_c)
-            self.dispatch_count += 1
-            valid = jnp.asarray(np.arange(B) < (hi - lo))
-            acc = self._eval_finalize(acc, opt, pes, valid)
+                continue
+            if pend:
+                opt, pes = dispatch_chunks(pend, pend_masks, pend_iw,
+                                           opt, pes)
+                pend, pend_masks = [], []
+            # the LAST chunk advances stream state -> per-chunk path
+            opt, pes = dispatch_chunk(wire, iw, opt, pes,
+                                      neg_mask=mask_c)
+            if last:
+                self.dispatch_count += 1
+                valid = jnp.asarray(np.arange(B) < (hi - lo))
+                acc = self._eval_finalize(acc, opt, pes, valid)
         try:
             acc.copy_to_host_async()    # overlap D2H RTT with queue drain
         except Exception:

@@ -385,6 +385,18 @@ def concat_offset_wires(wires, mail_plans=None, num_nodes=None):
     valid under frozen memory (each host planned against the
     super-batch-start ring pointers)."""
     n = len(wires)
+    # every constituent must live in the SAME shape buckets (R/Ub/...):
+    # offsets are multiples of wire 0's dims, so a silently larger
+    # sibling would compose a corrupt wire.  warm_buckets (or a shared
+    # root_bucket_lo) guarantees this in practice.
+    for w in wires[1:]:
+        for f in wires[0]._fields:
+            a, b = getattr(wires[0], f), getattr(w, f)
+            assert (a is None) == (b is None) and (
+                a is None or np.shape(a) == np.shape(b)), (
+                f"compose shape mismatch on '{f}': "
+                f"{np.shape(a)} vs {np.shape(b)} — pre-warm the shape "
+                f"buckets (Engine.warm_buckets) before composing")
     if mail_plans is not None:
         assert num_nodes is not None
         wires = [apply_mail_plan(w, pl, num_nodes)
