@@ -284,7 +284,6 @@ class Engine:
         # Per-step training keys (dropout): typed key with the configured
         # impl ('rbg' = TPU hardware RNG; see TrainConfig.rng_impl).
         self._rng_impl = tr.rng_impl
-        self._rng = jax.random.key(tr.seed + 1, impl=tr.rng_impl)
         # Host-side key schedule: per-step keys are derived in NUMPY as
         # base_key_data + 64·step·C (models/init.derive_key contract) —
         # no per-batch jax.random.split (each split was a tiny tunneled
@@ -292,7 +291,19 @@ class Engine:
         # fused program).  Fused groups receive the key of their FIRST
         # step and derive member i's key as +64·i, so fused and
         # per-batch dispatch produce identical streams.
-        self._base_kd = np.asarray(jax.random.key_data(self._rng))
+        # The base key itself is created on the CPU backend: deriving it
+        # on the accelerator would make __init__ pay one D2H round-trip
+        # (~0.5 s on tunneled runtimes) just to read 16 bytes.
+        try:
+            cpu0 = jax.local_devices(backend="cpu")[0]
+            with jax.default_device(cpu0):
+                host_key = jax.random.key(tr.seed + 1, impl=tr.rng_impl)
+                self._base_kd = np.asarray(jax.random.key_data(host_key))
+        except RuntimeError:    # no separate cpu backend registered
+            host_key = jax.random.key(tr.seed + 1, impl=tr.rng_impl)
+            self._base_kd = np.asarray(jax.random.key_data(host_key))
+        self._rng = jax.random.wrap_key_data(jnp.asarray(self._base_kd),
+                                             impl=tr.rng_impl)
         self._rng_step = 0
         self._step = 0
         self._epoch = 0   # completed-epoch cursor (checkpoint/resume)

@@ -388,9 +388,15 @@ def concat_offset_wires(wires, mail_plans=None, num_nodes=None):
     # every constituent must live in the SAME shape buckets (R/Ub/...):
     # offsets are multiples of wire 0's dims, so a silently larger
     # sibling would compose a corrupt wire.  warm_buckets (or a shared
-    # root_bucket_lo) guarantees this in practice.
+    # root_bucket_lo) guarantees this in practice.  The intra-COO
+    # fields (length Ei, nnz-dependent) are exempt: align_wires pads
+    # them to a common bucket below.
+    _EI_FIELDS = {"ia_row", "ia_col", "ia_loc", "ia_feat", "ia_dt",
+                  "ia_rslot"}
     for w in wires[1:]:
         for f in wires[0]._fields:
+            if f in _EI_FIELDS:
+                continue
             a, b = getattr(wires[0], f), getattr(w, f)
             assert (a is None) == (b is None) and (
                 a is None or np.shape(a) == np.shape(b)), (
