@@ -13,13 +13,23 @@ import pytest
 from tgb_tgn_dgl_tpu.data.dataset import synthetic
 from tgb_tgn_dgl_tpu.data.dependency import get_block
 from tgb_tgn_dgl_tpu.data.packer import PackerConfig, StreamPacker
-from tgb_tgn_dgl_tpu.parallel.owned_state import (NodeRangeOwnedState,
-                                                  gather_rows)
+from tgb_tgn_dgl_tpu.parallel.owned_state import (
+    NativeNodeRangeOwnedState, NodeRangeOwnedState, gather_rows,
+    native_available)
+
+IMPLS = ["numpy"] + (["native"] if native_available() else [])
 
 
+def _owner_cls(impl):
+    return (NativeNodeRangeOwnedState if impl == "native"
+            else NodeRangeOwnedState)
+
+
+@pytest.mark.parametrize("impl", IMPLS)
 @pytest.mark.parametrize("eval_tail,S", [(False, 1), (False, 2),
                                          (True, 2)])
-def test_owned_state_matches_serial(eval_tail, S):
+def test_owned_state_matches_serial(eval_tail, S, impl):
+    OwnerCls = _owner_cls(impl)
     n_hosts = 4
     data = synthetic("owned", num_edges=1600, num_nodes=200, msg_dim=4,
                      num_neg=3, seed=17)
@@ -27,7 +37,7 @@ def test_owned_state_matches_serial(eval_tail, S):
     N = data.num_nodes
     cfg = PackerConfig(num_neighbors=K, batch_size=B, mailbox_size=S)
     serial = StreamPacker(N, cfg)
-    owners = [NodeRangeOwnedState(N, n_hosts, h, K, S)
+    owners = [OwnerCls(N, n_hosts, h, K, S)
               for h in range(n_hosts)]
     rng = np.random.default_rng(3)
 
@@ -66,10 +76,12 @@ def test_owned_state_matches_serial(eval_tail, S):
             [o.merge_entries for o in owners])
 
 
-def test_gather_rows_feeds_packing():
+@pytest.mark.parametrize("impl", IMPLS)
+def test_gather_rows_feeds_packing(impl):
     """Boundary exchange sufficiency: for an arbitrary root set, rows +
     clocks gathered from owners reproduce the serial packer's cache-edge
     inputs (neighbor ids, feature e_ids, Δt = c_t − clock[c_nbr])."""
+    OwnerCls = _owner_cls(impl)
     n_hosts = 4
     data = synthetic("owned-pack", num_edges=800, num_nodes=160,
                      msg_dim=4, num_neg=2, seed=23)
@@ -77,7 +89,7 @@ def test_gather_rows_feeds_packing():
     N = data.num_nodes
     serial = StreamPacker(N, PackerConfig(num_neighbors=K, batch_size=B,
                                           mailbox_size=S))
-    owners = [NodeRangeOwnedState(N, n_hosts, h, K, S)
+    owners = [OwnerCls(N, n_hosts, h, K, S)
               for h in range(n_hosts)]
     rng = np.random.default_rng(9)
     for bi in range(6):

@@ -17,7 +17,8 @@ def build(verbose: bool = True) -> str:
     here = os.path.dirname(os.path.abspath(__file__))
     csrc = os.path.join(here, "..", "csrc")
     srcs = [os.path.join(csrc, "hostops.cpp"),
-            os.path.join(csrc, "packer.cpp")]
+            os.path.join(csrc, "packer.cpp"),
+            os.path.join(csrc, "owned_state.cpp")]
     out = os.path.join(csrc, "libhostops.so")
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
@@ -35,7 +36,8 @@ def build_if_needed() -> bool:
     here = os.path.dirname(os.path.abspath(__file__))
     csrc = os.path.join(here, "..", "csrc")
     srcs = [os.path.join(csrc, "hostops.cpp"),
-            os.path.join(csrc, "packer.cpp")]
+            os.path.join(csrc, "packer.cpp"),
+            os.path.join(csrc, "owned_state.cpp")]
     out = os.path.join(csrc, "libhostops.so")
     try:
         if (not os.path.exists(out)

@@ -31,9 +31,46 @@ BASELINE.md ("multi-host host-work scaling").
 """
 from __future__ import annotations
 
+import ctypes
 from typing import Sequence, Tuple
 
 import numpy as np
+
+_DECLARED = False
+
+
+def _owned_lib():
+    """libhostops.so with the owned_state C API declared, or None."""
+    from ..data import hostops
+
+    lib = hostops._load()
+    if lib is None or not hasattr(lib, "owned_new"):
+        return None
+    global _DECLARED
+    if not _DECLARED:
+        c = ctypes
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.owned_new.argtypes = [c.c_int64, c.c_int64, c.c_int64,
+                                  c.c_int32, c.c_int32]
+        lib.owned_new.restype = c.c_void_p
+        lib.owned_free.argtypes = [c.c_void_p]
+        lib.owned_apply_batch.argtypes = [
+            c.c_void_p, i32p, i32p, f32p, i64p, i32p, i32p,
+            c.c_int64, c.c_int64, c.c_int32]
+        lib.owned_get_rows.argtypes = [
+            c.c_void_p, i64p, c.c_int64, i32p, i64p, f32p, f32p, u8p]
+        lib.owned_get_state.argtypes = [
+            c.c_void_p, i32p, i64p, f32p, f32p, i64p,
+            c.POINTER(c.c_int64)]
+        _DECLARED = True
+    return lib
+
+
+def native_available() -> bool:
+    return _owned_lib() is not None
 
 
 class NodeRangeOwnedState:
@@ -137,6 +174,115 @@ class NodeRangeOwnedState:
             self.cache_nbr[r] = cat_n[top]
             self.cache_t[r] = cat_t[top]
 
+    def get_rows(self, nodes: np.ndarray):
+        """(nbr (n,K), eid, t, clock (n,), owned_mask (n,)) for an
+        arbitrary node set; rows outside the owned range are zero/-1
+        filled with owned_mask False."""
+        nodes = np.asarray(nodes, np.int64)
+        n = len(nodes)
+        K = self.K
+        nbr = np.zeros((n, K), np.int32)
+        eid = np.full((n, K), -1, np.int64)
+        tt = np.full((n, K), -1.0, np.float32)
+        clock = np.zeros(n, np.float32)
+        m = self._own(nodes)
+        idx = nodes[m] - self.lo
+        nbr[m] = self.cache_nbr[idx]
+        eid[m] = self.cache_eid[idx]
+        tt[m] = self.cache_t[idx]
+        clock[m] = self.clock[idx]
+        return nbr, eid, tt, clock, m
+
+
+class NativeNodeRangeOwnedState:
+    """C++ twin of NodeRangeOwnedState (csrc/owned_state.cpp) — same
+    API, hot loops native.  The numpy class is the oracle
+    (tests/test_owned_state.py::test_native_*)."""
+
+    def __init__(self, num_nodes: int, n_hosts: int, host: int, K: int,
+                 S: int):
+        lib = _owned_lib()
+        assert lib is not None, "libhostops.so lacks owned_state API"
+        self._lib = lib
+        self.N = num_nodes
+        self.lo = host * num_nodes // n_hosts
+        self.hi = (host + 1) * num_nodes // n_hosts
+        self.K = K
+        self.S = S
+        self._h = lib.owned_new(num_nodes, self.lo, self.hi, K, S)
+
+    def __del__(self):
+        try:
+            self._lib.owned_free(self._h)
+        except Exception:
+            pass
+
+    def apply_batch(self, src, dst, t, blocks, neg, e_id,
+                    eval_mode: bool = False) -> None:
+        src = np.ascontiguousarray(src, np.int32)
+        dst = np.ascontiguousarray(dst, np.int32)
+        t = np.ascontiguousarray(t, np.float32)
+        blocks = np.ascontiguousarray(blocks, np.int32)
+        e_id = np.ascontiguousarray(e_id, np.int64)
+        B = len(src)
+        if B == 0:
+            return
+        neg2d = np.ascontiguousarray(np.asarray(neg, np.int32)
+                                     .reshape(B, -1))
+        self._lib.owned_apply_batch(self._h, src, dst, t, e_id, blocks,
+                                    neg2d, B, neg2d.shape[1],
+                                    int(eval_mode))
+
+    def get_rows(self, nodes: np.ndarray):
+        nodes = np.ascontiguousarray(nodes, np.int64)
+        n = len(nodes)
+        K = self.K
+        nbr = np.zeros((n, K), np.int32)
+        eid = np.full((n, K), -1, np.int64)
+        tt = np.full((n, K), -1.0, np.float32)
+        clock = np.zeros(n, np.float32)
+        owned = np.zeros(n, np.uint8)
+        if n:
+            self._lib.owned_get_rows(self._h, nodes, n, nbr, eid, tt,
+                                     clock, owned)
+        return nbr, eid, tt, clock, owned.astype(bool)
+
+    def _dump(self):
+        n_own = self.hi - self.lo
+        nbr = np.zeros((n_own, self.K), np.int32)
+        eid = np.zeros((n_own, self.K), np.int64)
+        tt = np.zeros((n_own, self.K), np.float32)
+        clock = np.zeros(n_own, np.float32)
+        ptr = np.zeros(n_own, np.int64)
+        me = ctypes.c_int64(0)
+        self._lib.owned_get_state(self._h, nbr, eid, tt, clock, ptr,
+                                  ctypes.byref(me))
+        return nbr, eid, tt, clock, ptr, int(me.value)
+
+    @property
+    def cache_nbr(self):
+        return self._dump()[0]
+
+    @property
+    def cache_eid(self):
+        return self._dump()[1]
+
+    @property
+    def cache_t(self):
+        return self._dump()[2]
+
+    @property
+    def clock(self):
+        return self._dump()[3]
+
+    @property
+    def mail_ptr(self):
+        return self._dump()[4]
+
+    @property
+    def merge_entries(self):
+        return self._dump()[5]
+
 
 def gather_rows(owners: Sequence[NodeRangeOwnedState],
                 nodes: np.ndarray) -> Tuple[np.ndarray, np.ndarray,
@@ -158,13 +304,12 @@ def gather_rows(owners: Sequence[NodeRangeOwnedState],
     out_clock = np.zeros(n, np.float32)
     wire_bytes = 0
     for h, ow in enumerate(owners):
-        m = (nodes >= ow.lo) & (nodes < ow.hi)
+        nbr, eid, tt, clock, m = ow.get_rows(nodes)
         if not m.any():
             continue
-        idx = nodes[m] - ow.lo
-        out_nbr[m] = ow.cache_nbr[idx]
-        out_eid[m] = ow.cache_eid[idx]
-        out_t[m] = ow.cache_t[idx]
-        out_clock[m] = ow.clock[idx]
+        out_nbr[m] = nbr[m]
+        out_eid[m] = eid[m]
+        out_t[m] = tt[m]
+        out_clock[m] = clock[m]
         wire_bytes += int(m.sum()) * (K * 16 + 4)
     return out_nbr, out_eid, out_t, out_clock, wire_bytes
