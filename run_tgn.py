@@ -51,6 +51,21 @@ def main():
     parser.add_argument("--profile", action="store_true",
                         help="capture a jax profiler trace of epoch 1 "
                              "into <log-dir>/profile")
+    parser.add_argument("--engine", type=str, default="single",
+                        choices=("single", "sharded", "multihost"),
+                        help="single: one-chip Engine; sharded: "
+                             "GSPMD dp/state mesh over all visible "
+                             "devices (parallel/engine.py); multihost: "
+                             "composed super-batch driver "
+                             "(parallel/mh_engine.py)")
+    parser.add_argument("--dp", type=int, default=None,
+                        help="sharded: data-parallel mesh width "
+                             "(default: auto over visible devices)")
+    parser.add_argument("--state-ax", type=int, default=None,
+                        help="sharded: state-sharding mesh width")
+    parser.add_argument("--hosts", type=int, default=2,
+                        help="multihost: number of host ranges per "
+                             "super-batch")
     args = parser.parse_args()
 
     if args.platform:
@@ -73,7 +88,20 @@ def main():
 
     print(f"dataset: {data.name}  events={data.num_edges}  "
           f"nodes={data.num_nodes}  msg_dim={data.msg_dim}")
-    engine = Engine(data, config)
+    if args.engine == "sharded":
+        from tgb_tgn_dgl_tpu.parallel import mesh as mesh_lib
+        from tgb_tgn_dgl_tpu.parallel.engine import ShardedEngine
+        mesh = mesh_lib.make_mesh(dp=args.dp, state=args.state_ax)
+        print(f"engine: sharded over mesh "
+              f"{dict(zip(mesh.axis_names, mesh.devices.shape))}")
+        engine = ShardedEngine(data, config, mesh=mesh)
+    elif args.engine == "multihost":
+        from tgb_tgn_dgl_tpu.parallel.mh_engine import MultiHostEngine
+        print(f"engine: multihost composed super-batches, "
+              f"hosts={args.hosts}")
+        engine = MultiHostEngine(data, config, n_hosts=args.hosts)
+    else:
+        engine = Engine(data, config)
     if args.resume:
         engine.load_checkpoint(args.resume)
         print(f"resumed from {args.resume} at epoch {engine._epoch}")

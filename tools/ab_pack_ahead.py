@@ -7,10 +7,13 @@ params only; no D2H in the timed region.
 
 Usage: python tools/ab_pack_ahead.py [n_pairs]
 """
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
