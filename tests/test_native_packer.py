@@ -202,6 +202,8 @@ def test_native_dedup_wire_matches_python():
             assert Pa == Pb
             for f in wire_a._fields:
                 x, y = getattr(wire_a, f), getattr(wire_b, f)
+                if x is None and y is None:    # optional eval-lean fields
+                    continue
                 assert x.dtype == y.dtype, (f, x.dtype, y.dtype)
                 np.testing.assert_array_equal(
                     x, y, err_msg=f"eval={eval_mode} M={M} S={S} "
@@ -278,6 +280,8 @@ def test_async_pack_ahead_bit_exact():
         assert gp == wp
         for f in gw._fields:
             x, y = getattr(gw, f), getattr(ww, f)
+            if x is None and y is None:        # optional eval-lean fields
+                continue
             assert x.dtype == y.dtype, (i, f, x.dtype, y.dtype)
             np.testing.assert_array_equal(x, y,
                                           err_msg=f"batch {i} field {f}")

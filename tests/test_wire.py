@@ -217,3 +217,60 @@ def test_dedup_wire_size_reduction():
         dw, _ = pk_b.pack_wire_dedup(*args)
         tot_d += sum(np.asarray(a).nbytes for a in dw if a is not None)
     assert tot_d < 0.8 * tot_c, (tot_d, tot_c)
+
+
+def test_dedup_wire_eval_lean_exact():
+    """EVAL-LEAN dedup wire: with the three per-slot f32 Δt fields
+    stripped (eval_lean_dedup), expand_dedup must re-derive them
+    BIT-exactly from the global time table + per-block metadata —
+    including the subtle eval clock semantics where the per-block wipe
+    is overwritten by the block's own endpoint writes
+    (data/packer.py:388-393).  Covers multi-negative chunking, mailbox
+    sizes, and a mid-stream state (train batch first)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tgb_tgn_dgl_tpu.data.dependency import dependency_aware_batch
+    from tgb_tgn_dgl_tpu.ops.wire import eval_lean_dedup, expand_dedup
+
+    for (M, S, seed) in [(7, 1, 3), (4, 2, 4), (1, 1, 5)]:
+        r = np.random.default_rng(seed)
+        N, B, E = 80, 200, 600
+        cfg = PackerConfig(num_neighbors=5, batch_size=B,
+                           max_intra_block=8, mailbox_size=S)
+        pk_a = StreamPacker(N, cfg)
+        pk_b = StreamPacker(N, cfg)
+        t_all = np.sort(r.uniform(0, 1e6, E)).astype(np.float32)
+        src_all = r.integers(0, N, E).astype(np.int32)
+        dst_all = r.integers(0, N, E).astype(np.int32)
+        blocks_all = dependency_aware_batch(src_all, dst_all, B)
+        times_dev = jnp.asarray(t_all)
+        for bi, lo in enumerate(range(0, E, B)):
+            hi = min(lo + B, E)
+            rows = np.arange(lo, hi)
+            neg = r.integers(0, N, (hi - lo, M)).astype(np.int32)
+            if M == 1:
+                neg = neg[:, 0]
+            em = bi >= 1                  # train batch first, then eval
+            args = (src_all[lo:hi], dst_all[lo:hi], t_all[lo:hi], rows,
+                    blocks_all[lo:hi], neg)
+            pack = pk_a.pack(*args, eval_mode=em)
+            out = pk_b.pack_wire_dedup(*args, eval_mode=em)
+            assert out is not None
+            wire, P = out
+            want = pack.device()
+            if em:
+                wire = eval_lean_dedup(wire, blocks_all[lo:hi], 64)
+                assert wire.cache_dt is None    # lean applied
+            got = expand_dedup(jax.tree.map(jnp.asarray, wire),
+                               cfg.num_neighbors, P, N,
+                               ev_times=times_dev)
+            for f in type(want)._fields:
+                a = getattr(want, f)
+                b = getattr(got, f)
+                if a is None:
+                    assert b is None, f
+                    continue
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b).astype(np.asarray(a).dtype),
+                    err_msg=f"lean eval M={M} S={S} batch@{lo} field {f}")

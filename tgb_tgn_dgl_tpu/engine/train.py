@@ -39,8 +39,9 @@ from ..models.variants import (EagerMemoryConfig, dyrep_messages,
                                eager_apply_mail, eager_commit,
                                init_eager_memory_params,
                                init_eager_memory_state)
-from ..ops.wire import (BlobWire, blob_stack, compact_wire, expand_any,
-                        expand_wire, pack_to_wire, stack_wires, unblob_one)
+from ..ops.wire import (BlobWire, DedupWire, blob_stack, compact_wire,
+                        eval_lean_dedup, expand_any, expand_wire,
+                        pack_to_wire, stack_wires, unblob_one)
 from ..utils.config import FrameworkConfig
 from .checkpoint import (EarlyStopMonitor, load_pytree, rng_state_from_array,
                          rng_state_to_array, save_pytree)
@@ -1214,13 +1215,34 @@ class Engine:
         worker thread (same one-deep pipeline as _prefetch_pipelined —
         submission order is chunk order, so the insert/write_mail state
         advance on each batch's LAST chunk lands exactly where the
-        synchronous path puts it)."""
+        synchronous path puts it).
+
+        Dedup wires ship EVAL-LEAN (ops/wire.eval_lean_dedup): the
+        per-slot f32 Δt fields — the largest wire fields at M=999 chunk
+        scale (~2.1 of 2.9 MB per chunk) — are dropped and re-derived
+        bit-exactly on device from the resident global time table plus
+        tiny per-block metadata (expand_dedup's lean branch)."""
+        # static block-count bucket for the whole pass: ONE compiled
+        # signature instead of a mid-eval ratchet
+        nb_max = 1
+        for _lo, _hi, _rows, _blk in self._iter_batches(split):
+            nb_max = max(nb_max, int(_blk.max()) + 1)
+        nb_bucket = 16
+        while nb_bucket < nb_max:
+            nb_bucket *= 2
+
+        def lean(out, blk):
+            wire, iw = out
+            if isinstance(wire, DedupWire):
+                wire = eval_lean_dedup(wire, blk, nb_bucket)
+            return wire, iw
+
         def sync_pack(args, kw):
             out = self._pack_dedup(*args, kw["eval_mode"],
                                    insert=kw["insert"],
                                    write_mail=kw["write_mail"])
             if out is not None:
-                return out
+                return lean(out, args[4])
             wire, iw = self.packer.pack_wire(*args, **kw)
             return self._maybe_compact(wire, iw), iw
 
@@ -1239,6 +1261,8 @@ class Engine:
                 out = self.packer.pack_wire_dedup_fetch()
                 if out is None:              # P>255: repack synchronously
                     out = sync_pack(pend[1], pend[2])
+                else:
+                    out = lean(out, pend[1][4])
                 pmeta = pend[0]
                 if self.packer.pack_wire_dedup_submit(*args, **kw):
                     pend = (meta, args, kw)
@@ -1255,6 +1279,8 @@ class Engine:
             out = self.packer.pack_wire_dedup_fetch()
             if out is None:
                 out = sync_pack(pend[1], pend[2])
+            else:
+                out = lean(out, pend[1][4])
             yield pend[0] + out
 
     def _pack_dedup(self, src, dst, t, rows, blk, neg, eval_mode,

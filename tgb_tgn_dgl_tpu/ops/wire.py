@@ -456,6 +456,51 @@ class DedupWire(NamedTuple):
     intra_start: jnp.ndarray   # (R,) u16|i32 window start into ia_dt
     ia_dt: jnp.ndarray         # (Ei,) f32 prefix-layout intra Δt values
     mw_slot: jnp.ndarray       # (2B,) u8 (255 = no write) | i32 (-1)
+    # --- eval-lean extension (eval_lean_dedup): Δt grids derive on
+    # device instead of shipping; cache_dt/self_dt/ia_dt become None ---
+    root_blk: Optional[jnp.ndarray] = None   # (R,) u8 block of each slot
+    ev_blk: Optional[jnp.ndarray] = None     # (B,) u8 block of each event
+    blk_max: Optional[jnp.ndarray] = None    # (NBb,) f32 per-block wipe
+                                             # value (block max time)
+
+
+def eval_lean_dedup(wire: DedupWire, blocks, nb_bucket: int):
+    """Host post-pass for EVAL dedup wires: drop the three per-slot f32
+    Δt fields (cache_dt/self_dt/ia_dt — the largest wire fields at
+    M=999 chunk scale) and attach the tiny block metadata expand_dedup's
+    lean branch needs to re-derive them bit-exactly on device (see its
+    docstring).  ``blocks`` is the (B_raw,) per-event dependency block
+    array the chunk was packed with; ``nb_bucket`` the static block-
+    count bucket (caller keeps it stable across a pass for one compiled
+    signature).  Returns the wire unchanged when the block count
+    overflows the u8 field (the caller then ships the full wire)."""
+    braw = len(blocks)
+    if braw == 0:
+        return wire
+    blocks = np.asarray(blocks)
+    nb = int(blocks.max()) + 1
+    if nb > min(nb_bucket, 255):
+        return wire
+    B = np.asarray(wire.ev_t).shape[0]
+    R = np.asarray(wire.root_loc).shape[0]
+    ev_blk = np.zeros(B, np.uint8)
+    ev_blk[:braw] = blocks.astype(np.uint8)
+    # per-block wipe value = the block's max event time (packer.py:389)
+    blk_max = np.zeros(nb_bucket, np.float32)
+    t = np.asarray(wire.ev_t)[:braw]
+    np.maximum.at(blk_max, blocks, t)
+    # block of every root slot: every root is referenced by at least one
+    # event slot map of its own block (roots = unique(src ∪ dst ∪ neg)
+    # per block), so scatter the event blocks through the slot maps
+    root_blk = np.zeros(R, np.uint8)
+    root_blk[np.asarray(wire.ev_src_slot, np.int64)[:braw]] = ev_blk[:braw]
+    root_blk[np.asarray(wire.ev_pos_slot, np.int64)[:braw]] = ev_blk[:braw]
+    neg_slot = np.asarray(wire.ev_neg_slot, np.int64)
+    neg2d = neg_slot.reshape(B, -1)[:braw]
+    root_blk[neg2d] = ev_blk[:braw, None]
+    return wire._replace(cache_dt=None, self_dt=None, ia_dt=None,
+                         root_blk=root_blk, ev_blk=ev_blk,
+                         blk_max=blk_max)
 
 
 def _mw_from_slots(mw_slot, ev_src, ev_dst, ev_t, ev_idx, num_nodes):
@@ -479,13 +524,41 @@ def _mw_from_slots(mw_slot, ev_src, ev_dst, ev_t, ev_idx, num_nodes):
 
 
 def expand_dedup(wire: DedupWire, num_neighbors: int, intra_width: int,
-                 num_nodes: int) -> DevicePack:
+                 num_nodes: int, ev_times=None) -> DevicePack:
     """Device-side reconstruction of the full DevicePack from a
     DedupWire (pure jnp, runs inside the jitted step; gathers only, so
     XLA fuses the whole expansion into the consuming model pass).
-    Bit-equivalent to Pack.device() — tests/test_wire.py."""
+    Bit-equivalent to Pack.device() — tests/test_wire.py.
+
+    EVAL-LEAN mode (``wire.cache_dt is None``, built by
+    ``eval_lean_dedup``): the Δt grids derive ON DEVICE instead of
+    shipping.  Every eval Δt is ``edge time − clock_b[node]`` where the
+    clock state of block b is: the per-block wipe value (the block's
+    max event time, packer.py:388-389) OVERWRITTEN by the block's own
+    endpoint writes (dst then src with their exact event times,
+    packer.py:392-393 — unconditional, also in eval mode).  Both parts
+    reconstruct exactly from what the wire already carries:
+
+      * edge times  = rows of the device-resident global time table
+        (``ev_times``) at the global e_ids in cr_feat / ne_ent[:, 1];
+      * clock_b[u]  = u's max event time within block b when u is an
+        endpoint there (a (Ub, NBb) scatter-max over the batch's events,
+        whose uniq-locs come from root_loc[ev_src/pos_slot] — every
+        endpoint is a root of its own block), else the shipped per-block
+        wipe value ``blk_max[b]`` (times are sorted, so max-within-block
+        equals the LAST write, the serial semantics).
+
+    This drops the three per-slot f32 Δt fields — at M=999 eval chunk
+    scale ~2.1 of 2.9 MB per chunk (BASELINE.md round 4) — for one
+    scatter-max plus gathers that fuse into the consumers.  Train-mode
+    wires are unaffected: their clocks carry cross-batch state the
+    device does not have."""
     K = num_neighbors
     P = intra_width
+    lean_dt = wire.cache_dt is None
+    if lean_dt:
+        assert ev_times is not None, (
+            "eval-lean DedupWire needs the device time table")
 
     def i32(a):
         return a.astype(jnp.int32)
@@ -502,18 +575,51 @@ def expand_dedup(wire: DedupWire, num_neighbors: int, intra_width: int,
     uniq_nid = i32(wire.uniq_nid)
     src_slot, pos_slot = i32(wire.ev_src_slot), i32(wire.ev_pos_slot)
 
+    if lean_dt:
+        # ---- per-(uniq node, block) eval clock reconstruction ----------
+        # grid[u, b] = max event time of node u within block b (−1 when
+        # u is not an endpoint of b); clock_b[u] = grid or the block's
+        # wipe value.  ONE scatter-max over both event halves.
+        NBb = wire.blk_max.shape[0]
+        root_blk = i32(wire.root_blk)                    # (R,)
+        ev_blk = i32(wire.ev_blk)                        # (B,)
+        loc_src = root_loc[src_slot]
+        loc_dst = root_loc[pos_slot]
+        tval = jnp.where(wire.ev_valid, wire.ev_t, -1.0)
+        grid = jnp.full((Ub, NBb), -1.0, jnp.float32)
+        grid = grid.at[jnp.concatenate([loc_dst, loc_src]),
+                       jnp.concatenate([ev_blk, ev_blk])].max(
+                           jnp.concatenate([tval, tval]))
+
+        def clock_at(loc, blk):
+            g = grid[loc, blk]
+            return jnp.where(g >= 0.0, g, wire.blk_max[blk])
+
     # ---- cache part (dedup per unique root node) -----------------------
     cache_loc = i32(wire.cr_loc)[root_cr]                # (R, K)
     cache_feat_raw = wire.cr_feat[root_cr]               # (R, K) i32
     cache_valid = cache_feat_raw >= 0
     cache_feat = jnp.maximum(cache_feat_raw, 0)
-    cache_dt = jnp.where(cache_valid, wire.cache_dt, 0.0)
+    if lean_dt:
+        # padded root slots inherit cr row 0's validity, so mask by
+        # root_valid too (the shipped field was zero there —
+        # Pack.device() parity)
+        cache_dt = jnp.where(
+            cache_valid & root_valid[:, None],
+            ev_times[cache_feat]
+            - clock_at(cache_loc, root_blk[:, None]), 0.0)
+    else:
+        cache_dt = jnp.where(cache_valid, wire.cache_dt, 0.0)
     cache_kind = jnp.where(cache_valid, jnp.int8(KIND_CACHE),
                            jnp.int8(KIND_INVALID))
     cache_loc = jnp.where(cache_valid, cache_loc, pad_loc)
 
     # ---- self column ----------------------------------------------------
-    self_dt = jnp.where(root_valid, wire.self_dt, 0.0)
+    if lean_dt:
+        self_dt_raw = 0.0 - clock_at(root_loc, root_blk)
+    else:
+        self_dt_raw = wire.self_dt
+    self_dt = jnp.where(root_valid, self_dt_raw, 0.0)
     self_kind = jnp.where(root_valid, jnp.int8(KIND_SELF),
                           jnp.int8(KIND_INVALID))
 
@@ -529,8 +635,15 @@ def expand_dedup(wire: DedupWire, num_neighbors: int, intra_width: int,
         g = ne[idx]                                             # (R, P, 2)
         ia_loc = jnp.where(ia_valid, g[..., 0], pad_loc)
         ia_feat = jnp.where(ia_valid, g[..., 1], 0)
-        Etot = wire.ia_dt.shape[0]
-        if P % 4 == 0 and Etot % 4 == 0:
+        if lean_dt:
+            # intra Δt = event time − partner clock at the root's block
+            # (partner uniq-loc and the event's global row are already
+            # gathered into g)
+            ia_dt = jnp.where(
+                ia_valid,
+                ev_times[g[..., 1]]
+                - clock_at(g[..., 0], root_blk[:, None]), 0.0)
+        elif P % 4 == 0 and wire.ia_dt.shape[0] % 4 == 0:
             # windows are 4-aligned/4-padded by the packer: read the
             # prefix list as f32[4] ROW gathers (element gathers were
             # the hottest op of the profiled step — BASELINE.md)
@@ -541,7 +654,7 @@ def expand_dedup(wire: DedupWire, num_neighbors: int, intra_width: int,
             ia_dt_raw = dt4[didx4].reshape(-1, P)        # (R, P)
             ia_dt = jnp.where(ia_valid, ia_dt_raw, 0.0)
         else:
-            didx = jnp.clip(start[:, None] + j, 0, Etot - 1)
+            didx = jnp.clip(start[:, None] + j, 0, wire.ia_dt.shape[0] - 1)
             ia_dt = jnp.where(ia_valid, wire.ia_dt[didx], 0.0)
         ia_kind = jnp.where(ia_valid, jnp.int8(KIND_INTRA),
                             jnp.int8(KIND_INVALID))
@@ -592,7 +705,8 @@ def expand_any(wire, num_neighbors: int, statics, num_nodes: int,
     static intra_width (int)."""
     iw = statics[0] if isinstance(statics, tuple) else statics
     if isinstance(wire, DedupWire):
-        return expand_dedup(wire, num_neighbors, iw, num_nodes)
+        return expand_dedup(wire, num_neighbors, iw, num_nodes,
+                            ev_times=ev_times)
     return expand_wire(wire, num_neighbors, iw, num_nodes)
 
 
