@@ -119,3 +119,71 @@ def test_gather_rows_feeds_packing(impl):
                     serial.cache_t[roots]
                     - serial.clock[serial.cache_nbr[roots]], 0.0)
     np.testing.assert_allclose(dt, want)
+
+
+@pytest.mark.parametrize("scratch_impl", ["numpy", "native"])
+@pytest.mark.parametrize("impl", IMPLS)
+def test_pack_with_gathered_state_matches_replicated(impl, scratch_impl):
+    """Owned-mode packing end-to-end: a batch packed against
+    boundary-gathered owner state (pack_with_gathered_state) must
+    produce the SAME wire, bit-for-bit, as the replicated protocol's
+    pack on a fully materialized serial packer — across train batches,
+    a mailbox ring, and an eval tail with multi-negatives.  Also checks
+    the borrowed scratch packer returns to its default state."""
+    from tgb_tgn_dgl_tpu.parallel.owned_state import (
+        gather_rows, pack_with_gathered_state)
+
+    if scratch_impl == "native":
+        from tgb_tgn_dgl_tpu.data import native_packer
+        if not native_packer.available():
+            pytest.skip("native packer unavailable")
+    OwnerCls = _owner_cls(impl)
+    n_hosts = 3
+    data = synthetic("owned-gp", num_edges=1200, num_nodes=150,
+                     msg_dim=4, num_neg=3, seed=31)
+    B, K, S = 120, 5, 2
+    N = data.num_nodes
+    cfg = PackerConfig(num_neighbors=K, batch_size=B, mailbox_size=S,
+                       max_intra_block=8)
+    serial = StreamPacker(N, cfg)
+    if scratch_impl == "native":
+        from tgb_tgn_dgl_tpu.data.native_packer import NativeStreamPacker
+        scratch = NativeStreamPacker(N, cfg)
+    else:
+        scratch = StreamPacker(N, cfg)
+    owners = [OwnerCls(N, n_hosts, h, K, S) for h in range(n_hosts)]
+    rng = np.random.default_rng(7)
+
+    n_batches = 10
+    for bi in range(n_batches):
+        rows = np.arange(bi * B, (bi + 1) * B)
+        src, dst, t = data.src[rows], data.dst[rows], data.t[rows]
+        blk = get_block(src, dst)
+        em = bi >= n_batches - 3
+        neg = (rng.integers(0, N, (B, 3)) if em
+               else rng.integers(0, N, B)).astype(np.int32)
+        # owned path FIRST (reads owner state = pre-batch, like serial)
+        got, giw, xbytes = pack_with_gathered_state(
+            scratch, owners, src, dst, t, rows, blk, neg, eval_mode=em)
+        want, wiw = serial.pack_wire(src, dst, t, rows, blk, neg,
+                                     eval_mode=em)
+        assert giw == wiw
+        assert xbytes > 0
+        for f in type(want)._fields:
+            a, b = getattr(want, f), getattr(got, f)
+            if a is None and b is None:
+                continue
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"batch {bi} eval={em} field {f}")
+        # advance authoritative state
+        for ow in owners:
+            ow.apply_batch(src, dst, t, blk, neg, e_id=rows, eval_mode=em)
+        # borrowed scratch returned to defaults
+        assert np.all(np.asarray(scratch.cache_eid) == -1)
+        assert np.all(np.asarray(scratch.clock) == 0.0)
+        assert np.all(np.asarray(scratch.mail_ptr) == 0)
+    # owners track the serial packer (sanity on top of the other tests)
+    nbr, eid, ct, clock_r, _ = gather_rows(owners, np.arange(N))
+    np.testing.assert_array_equal(eid, serial.cache_eid)
+    np.testing.assert_array_equal(clock_r, serial.clock)

@@ -233,6 +233,22 @@ void owned_get_rows(void* h, const int64_t* nodes, int64_t n,
   }
 }
 
+// Mail ring pointers for an arbitrary node set (pack-time gather for
+// the scratch pack's write plan).
+void owned_get_mail(void* h, const int64_t* nodes, int64_t n,
+                    int64_t* out_ptr, uint8_t* out_owned) {
+  auto* o = static_cast<OwnedState*>(h);
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t u = nodes[i];
+    if (!o->owns(u)) {
+      out_owned[i] = 0;
+      continue;
+    }
+    out_owned[i] = 1;
+    out_ptr[i] = o->mail_ptr[u - o->lo];
+  }
+}
+
 // Full owned-state dump for tests/snapshots (arrays sized n_own).
 void owned_get_state(void* h, int32_t* nbr, int64_t* eid, float* t,
                      float* clock, int64_t* mail_ptr,

@@ -232,6 +232,63 @@ void packer_set_state(void* h, const int32_t* nbr, const int64_t* eid,
   p->cur_e_id = cur_e_id;
 }
 
+// Row-level state surgery for the owned-state scratch pack
+// (parallel/owned_state.py::pack_with_gathered_state): a multi-host
+// range pack fills ONLY the rows the pack will read (boundary-gathered
+// from the node-range owners), packs with insert=0, then clears the
+// dirtied rows back to defaults — O(gathered) per pack instead of the
+// O(N) full set_state copy.
+
+void packer_set_rows(void* h, const int64_t* nodes, int64_t n,
+                     const int32_t* nbr, const int64_t* eid,
+                     const float* t, const float* clock) {
+  auto* p = static_cast<Packer*>(h);
+  wait_idle(p);
+  const int32_t K = p->K;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t u = nodes[i];
+    std::memcpy(p->cache_nbr.data() + u * K, nbr + i * K, K * 4);
+    std::memcpy(p->cache_eid.data() + u * K, eid + i * K, K * 8);
+    std::memcpy(p->cache_t.data() + u * K, t + i * K, K * 4);
+    p->clock[u] = clock[i];
+  }
+}
+
+void packer_set_clock_rows(void* h, const int64_t* nodes, int64_t n,
+                           const float* clock) {
+  auto* p = static_cast<Packer*>(h);
+  wait_idle(p);
+  for (int64_t i = 0; i < n; ++i) p->clock[nodes[i]] = clock[i];
+}
+
+void packer_set_mail_rows(void* h, const int64_t* nodes, int64_t n,
+                          const int64_t* ptr) {
+  auto* p = static_cast<Packer*>(h);
+  wait_idle(p);
+  for (int64_t i = 0; i < n; ++i) p->mail_ptr[nodes[i]] = ptr[i];
+}
+
+// Reset the given rows to construction defaults (cache empty, clock 0,
+// mail ptr 0).  ``zero_all_clocks`` additionally wipes EVERY clock —
+// needed after an eval-mode scratch pack, whose clock wipe dirties all
+// N rows (data/packer.py:388-389).
+void packer_clear_rows(void* h, const int64_t* nodes, int64_t n,
+                       int32_t zero_all_clocks) {
+  auto* p = static_cast<Packer*>(h);
+  wait_idle(p);
+  const int32_t K = p->K;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t u = nodes[i];
+    std::fill_n(p->cache_nbr.data() + u * K, K, 0);
+    std::fill_n(p->cache_eid.data() + u * K, K, int64_t{-1});
+    std::fill_n(p->cache_t.data() + u * K, K, -1.0f);
+    p->clock[u] = 0.0f;
+    p->mail_ptr[u] = 0;
+  }
+  if (zero_all_clocks)
+    std::fill(p->clock.begin(), p->clock.end(), 0.0f);
+}
+
 // Undirected recency insert, last-K per node by (eid desc, cache-first,
 // dst-half-first) — parity with StreamPacker.insert / reference
 // neighbor_loader.py:52-104.

@@ -92,6 +92,15 @@ def _lib():
                 vp, vp, vp, vp, i32p,              # uniq/locs/cr
                 f32p, f32p, f32p,                  # dt outputs
                 i32p, vp, u8p, vp, vp]             # intra + mw
+        if hasattr(lib, "packer_set_rows"):
+            lib.packer_set_rows.argtypes = [
+                c.c_void_p, i64p, c.c_int64, i32p, i64p, f32p, f32p]
+            lib.packer_set_clock_rows.argtypes = [
+                c.c_void_p, i64p, c.c_int64, f32p]
+            lib.packer_set_mail_rows.argtypes = [
+                c.c_void_p, i64p, c.c_int64, i64p]
+            lib.packer_clear_rows.argtypes = [
+                c.c_void_p, i64p, c.c_int64, c.c_int32]
         if hasattr(lib, "packer_pack_fill_lean"):
             lib.packer_pack_fill_lean.argtypes = [
                 c.c_void_p, c.c_int64, c.c_int64, c.c_int32,
@@ -190,6 +199,43 @@ class NativeStreamPacker:
                    mail_ptr) -> None:
         self._set_state(cache_nbr, cache_eid, cache_t, clock, cur_e_id,
                         mail_ptr)
+
+    # --- row-level state surgery (owned-state scratch packs;
+    # parallel/owned_state.py::pack_with_gathered_state) ---
+    def rows_api_available(self) -> bool:
+        return hasattr(self._lib, "packer_set_rows")
+
+    def set_rows(self, nodes, nbr, eid, t, clock) -> None:
+        nodes = np.ascontiguousarray(nodes, np.int64)
+        if len(nodes) == 0:
+            return
+        self._lib.packer_set_rows(
+            self._h, nodes, len(nodes),
+            np.ascontiguousarray(nbr, np.int32),
+            np.ascontiguousarray(eid, np.int64),
+            np.ascontiguousarray(t, np.float32),
+            np.ascontiguousarray(clock, np.float32))
+
+    def set_clock_rows(self, nodes, clock) -> None:
+        nodes = np.ascontiguousarray(nodes, np.int64)
+        if len(nodes) == 0:
+            return
+        self._lib.packer_set_clock_rows(
+            self._h, nodes, len(nodes),
+            np.ascontiguousarray(clock, np.float32))
+
+    def set_mail_rows(self, nodes, ptr) -> None:
+        nodes = np.ascontiguousarray(nodes, np.int64)
+        if len(nodes) == 0:
+            return
+        self._lib.packer_set_mail_rows(
+            self._h, nodes, len(nodes),
+            np.ascontiguousarray(ptr, np.int64))
+
+    def clear_rows(self, nodes, zero_all_clocks: bool = False) -> None:
+        nodes = np.ascontiguousarray(nodes, np.int64)
+        self._lib.packer_clear_rows(self._h, nodes, len(nodes),
+                                    int(zero_all_clocks))
 
     def snapshot(self):
         s = self._get_state()

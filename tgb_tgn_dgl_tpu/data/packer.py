@@ -227,6 +227,34 @@ class StreamPacker:
         self.cur_e_id = 0
         self.mail_ptr.fill(0)
 
+    # --- row-level state surgery (owned-state scratch packs;
+    # parallel/owned_state.py::pack_with_gathered_state) ---
+    def rows_api_available(self) -> bool:
+        return True
+
+    def set_rows(self, nodes, nbr, eid, t, clock) -> None:
+        nodes = np.asarray(nodes, np.int64)
+        self.cache_nbr[nodes] = nbr
+        self.cache_eid[nodes] = eid
+        self.cache_t[nodes] = t
+        self.clock[nodes] = clock
+
+    def set_clock_rows(self, nodes, clock) -> None:
+        self.clock[np.asarray(nodes, np.int64)] = clock
+
+    def set_mail_rows(self, nodes, ptr) -> None:
+        self.mail_ptr[np.asarray(nodes, np.int64)] = ptr
+
+    def clear_rows(self, nodes, zero_all_clocks: bool = False) -> None:
+        nodes = np.asarray(nodes, np.int64)
+        self.cache_nbr[nodes] = 0
+        self.cache_eid[nodes] = -1
+        self.cache_t[nodes] = -1.0
+        self.clock[nodes] = 0.0
+        self.mail_ptr[nodes] = 0
+        if zero_all_clocks:
+            self.clock.fill(0.0)
+
     def snapshot(self):
         """State backup for val→test protocol experiments (analogue of
         MemoryModule.backup_memory, reference model_utils.py:290-297)."""

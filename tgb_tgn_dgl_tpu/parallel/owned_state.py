@@ -62,6 +62,8 @@ def _owned_lib():
             c.c_int64, c.c_int64, c.c_int32]
         lib.owned_get_rows.argtypes = [
             c.c_void_p, i64p, c.c_int64, i32p, i64p, f32p, f32p, u8p]
+        lib.owned_get_mail.argtypes = [
+            c.c_void_p, i64p, c.c_int64, i64p, u8p]
         lib.owned_get_state.argtypes = [
             c.c_void_p, i32p, i64p, f32p, f32p, i64p,
             c.POINTER(c.c_int64)]
@@ -193,6 +195,14 @@ class NodeRangeOwnedState:
         clock[m] = self.clock[idx]
         return nbr, eid, tt, clock, m
 
+    def get_mail(self, nodes: np.ndarray):
+        """(mail_ptr (n,), owned_mask (n,)) for an arbitrary node set."""
+        nodes = np.asarray(nodes, np.int64)
+        ptr = np.zeros(len(nodes), np.int64)
+        m = self._own(nodes)
+        ptr[m] = self.mail_ptr[nodes[m] - self.lo]
+        return ptr, m
+
 
 class NativeNodeRangeOwnedState:
     """C++ twin of NodeRangeOwnedState (csrc/owned_state.cpp) — same
@@ -246,6 +256,15 @@ class NativeNodeRangeOwnedState:
             self._lib.owned_get_rows(self._h, nodes, n, nbr, eid, tt,
                                      clock, owned)
         return nbr, eid, tt, clock, owned.astype(bool)
+
+    def get_mail(self, nodes: np.ndarray):
+        nodes = np.ascontiguousarray(nodes, np.int64)
+        n = len(nodes)
+        ptr = np.zeros(n, np.int64)
+        owned = np.zeros(n, np.uint8)
+        if n:
+            self._lib.owned_get_mail(self._h, nodes, n, ptr, owned)
+        return ptr, owned.astype(bool)
 
     def _dump(self):
         n_own = self.hi - self.lo
@@ -313,3 +332,69 @@ def gather_rows(owners: Sequence[NodeRangeOwnedState],
         out_clock[m] = clock[m]
         wire_bytes += int(m.sum()) * (K * 16 + 4)
     return out_nbr, out_eid, out_t, out_clock, wire_bytes
+
+
+def gather_mail(owners: Sequence, nodes: np.ndarray):
+    """Assemble mail ring pointers for an arbitrary node set from their
+    owners (the third boundary-exchange round; ~8 B/node)."""
+    nodes = np.asarray(nodes, np.int64)
+    out = np.zeros(len(nodes), np.int64)
+    nbytes = 0
+    for ow in owners:
+        ptr, m = ow.get_mail(nodes)
+        out[m] = ptr[m]
+        nbytes += int(m.sum()) * 8
+    return out, nbytes
+
+
+def pack_with_gathered_state(scratch, owners: Sequence, src, dst, t,
+                             ev_idx, blocks, neg,
+                             eval_mode: bool = False):
+    """Pack ONE batch against owner-partitioned authoritative state —
+    the owned-mode replacement for packing on a fully replicated
+    packer (SURVEY.md §7 phase 5).
+
+    ``scratch`` is a full-N StreamPacker/NativeStreamPacker in the
+    DEFAULT state (empty cache, zero clocks/mail) that this function
+    borrows: it fills exactly the rows the pack will read with
+    boundary-gathered rows, packs with ``insert=False`` (authoritative
+    state advances via the owners' ``apply_batch``, proven bit-exact in
+    tests/test_owned_state.py), and clears the dirtied rows back to
+    defaults — O(gathered) per pack, independent of N.
+
+    The read set is complete by construction: the pack reads cache
+    rows + clocks of the batch's roots (unique(src ∪ dst ∪ neg) —
+    negatives and intra partners included), clocks of the roots' cache
+    neighbors (the Δt denominators), and mail pointers of the write
+    nodes (src ∪ dst ⊆ roots); everything else in packer state is
+    untouched by a pack.  Returns (wire, intra_width, exchange_bytes)
+    where exchange_bytes is what a real all_to_all would ship for the
+    three gather rounds."""
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    neg_arr = np.asarray(neg)
+    roots = np.unique(np.concatenate(
+        [src.astype(np.int64), dst.astype(np.int64),
+         neg_arr.astype(np.int64).ravel()]))
+    # round 1: root cache rows + clocks
+    nbr, eid, ct, clock_r, b1 = gather_rows(owners, roots)
+    # round 2: cache-neighbor clocks (Δt denominators); skip nodes
+    # already gathered as roots
+    nbr_nodes = np.unique(nbr[eid >= 0].astype(np.int64))
+    extra = np.setdiff1d(nbr_nodes, roots, assume_unique=True)
+    _, _, _, clock_n, b2 = gather_rows(owners, extra)
+    b2 = len(extra) * 4          # a clock-only round ships 4 B/node
+    # round 3: mail pointers of the write nodes
+    wr_nodes = np.unique(np.concatenate([src, dst]).astype(np.int64))
+    mail, b3 = gather_mail(owners, wr_nodes)
+
+    scratch.set_rows(roots, nbr, eid, ct, clock_r)
+    scratch.set_clock_rows(extra, clock_n)
+    scratch.set_mail_rows(wr_nodes, mail)
+    try:
+        wire, iw = scratch.pack_wire(src, dst, t, ev_idx, blocks, neg,
+                                     eval_mode=eval_mode, insert=False)
+    finally:
+        dirty = np.unique(np.concatenate([roots, extra, wr_nodes]))
+        scratch.clear_rows(dirty, zero_all_clocks=eval_mode)
+    return wire, iw, b1 + b2 + b3
