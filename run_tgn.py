@@ -66,6 +66,12 @@ def main():
     parser.add_argument("--hosts", type=int, default=2,
                         help="multihost: number of host ranges per "
                              "super-batch")
+    parser.add_argument("--exchange", type=str, default="replicated",
+                        choices=("replicated", "owned"),
+                        help="multihost state maintenance: replicated "
+                             "(every host replays all events) or owned "
+                             "(node-range owners + boundary gathers — "
+                             "per-host work O(events/n))")
     args = parser.parse_args()
 
     if args.platform:
@@ -98,8 +104,9 @@ def main():
     elif args.engine == "multihost":
         from tgb_tgn_dgl_tpu.parallel.mh_engine import MultiHostEngine
         print(f"engine: multihost composed super-batches, "
-              f"hosts={args.hosts}")
-        engine = MultiHostEngine(data, config, n_hosts=args.hosts)
+              f"hosts={args.hosts}, exchange={args.exchange}")
+        engine = MultiHostEngine(data, config, n_hosts=args.hosts,
+                                 exchange=args.exchange)
     else:
         engine = Engine(data, config)
     if args.resume:

@@ -89,3 +89,35 @@ def test_ragged_tail_goes_single_host(mh_data):
     stats = mh.train_epoch()
     n_train = int(np.sum(mh_data.train_mask))
     assert stats["events"] >= n_train
+
+
+@pytest.mark.parametrize("frozen", [True, False])
+def test_owned_exchange_matches_replicated(mh_data, frozen):
+    """exchange='owned' (node-range-owned state + boundary-gathered
+    scratch packs) must train IDENTICALLY to the replicated exchange:
+    same per-epoch loss, same params, same packer state at the epoch
+    boundary — across both the frozen and flagship-memory paths."""
+    rep = MultiHostEngine(mh_data, _conf(frozen=frozen), n_hosts=2,
+                          exchange="replicated")
+    own = MultiHostEngine(mh_data, _conf(frozen=frozen), n_hosts=2,
+                          exchange="owned")
+    for ep in range(2):
+        s_rep = rep.train_epoch()
+        s_own = own.train_epoch()
+        assert s_rep["events"] == s_own["events"]
+        np.testing.assert_allclose(s_rep["loss"], s_own["loss"],
+                                   rtol=0, atol=0)
+    # bit-identical training trajectories
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        rep.params, own.params)
+    # serial packer state handed back exactly
+    np.testing.assert_array_equal(rep.packer.cache_eid,
+                                  own.packer.cache_eid)
+    np.testing.assert_array_equal(rep.packer.clock, own.packer.clock)
+    np.testing.assert_array_equal(rep.packer.mail_ptr,
+                                  own.packer.mail_ptr)
+    # the inherited eval protocol runs on the owned-mode engine
+    v_rep, v_own = rep.evaluate("val"), own.evaluate("val")
+    np.testing.assert_allclose(v_rep, v_own, rtol=0, atol=0)

@@ -136,6 +136,33 @@ void* owned_new(int64_t num_nodes, int64_t lo, int64_t hi, int32_t k,
 
 void owned_free(void* h) { delete static_cast<OwnedState*>(h); }
 
+// Train-epoch-start reset: cache + mail ring clear, clocks persist
+// (packer.cpp packer_reset semantics — reference neighbor_loader.py:
+// 106-109, time_assoc never reset).
+void owned_reset_cache(void* h) {
+  auto* o = static_cast<OwnedState*>(h);
+  std::fill(o->cache_eid.begin(), o->cache_eid.end(), int64_t{-1});
+  std::fill(o->cache_t.begin(), o->cache_t.end(), -1.0f);
+  std::fill(o->mail_ptr.begin(), o->mail_ptr.end(), int64_t{0});
+}
+
+// Load the owned range's rows from a serial packer's full-N state
+// (arrays are the FULL (N, K)/(N,) serial arrays; this copies the
+// [lo, hi) slice) — used to re-seed owners after a serially-executed
+// phase (e.g. the inherited eval protocol advanced the serial packer).
+void owned_load_from_serial(void* h, const int32_t* nbr,
+                            const int64_t* eid, const float* t,
+                            const float* clock, const int64_t* mail_ptr) {
+  auto* o = static_cast<OwnedState*>(h);
+  const int32_t K = o->K;
+  int64_t n_own = o->hi - o->lo;
+  std::memcpy(o->cache_nbr.data(), nbr + o->lo * K, n_own * K * 4);
+  std::memcpy(o->cache_eid.data(), eid + o->lo * K, n_own * K * 8);
+  std::memcpy(o->cache_t.data(), t + o->lo * K, n_own * K * 4);
+  std::memcpy(o->clock.data(), clock + o->lo, n_own * 4);
+  std::memcpy(o->mail_ptr.data(), mail_ptr + o->lo, n_own * 8);
+}
+
 // Consume one batch of the GLOBAL stream in serial semantics, updating
 // owned rows only.  neg is (braw, m) row-major; e_id is the global
 // event id per event (stream order).

@@ -85,13 +85,47 @@ class MultiHostEngine(Engine):
     eval path keeps whatever wire format the config selects."""
 
     def __init__(self, data, config: FrameworkConfig, n_hosts: int,
-                 mesh=None):
+                 mesh=None, exchange: str = "replicated"):
         assert n_hosts >= 1
+        assert exchange in ("replicated", "owned")
         assert config.train.max_intra_block is not None, (
             "MultiHostEngine needs a fixed train.max_intra_block")
         super().__init__(data, config)
         self.n_hosts = n_hosts
         self.mesh = mesh
+        self.exchange = exchange
+        if exchange == "owned":
+            # Node-range-owned state maintenance (SURVEY.md §7 phase 5):
+            # each range's authoritative cache/clock/mail rows live with
+            # their owner; packs read boundary-gathered rows on a
+            # borrowed scratch packer (parallel/owned_state.py).  Host
+            # work per host is O(events/n) + gathers instead of the
+            # replicated exchange's O(events) replay (BASELINE.md
+            # "multi-host host-work scaling").
+            from ..data.packer import PackerConfig, StreamPacker
+            from .owned_state import (NativeNodeRangeOwnedState,
+                                      NodeRangeOwnedState,
+                                      native_available)
+            K = config.sampling.num_neighbors
+            S = config.memory.mailbox_size
+            owner_cls = (NativeNodeRangeOwnedState if native_available()
+                         else NodeRangeOwnedState)
+            self._owners = [owner_cls(data.num_nodes, n_hosts, h, K, S)
+                            for h in range(n_hosts)]
+            pk_cfg = PackerConfig(
+                num_neighbors=K, batch_size=config.train.batch_size,
+                max_intra_block=config.train.max_intra_block,
+                mailbox_size=S, seed=config.train.seed)
+            from ..data.native_packer import make_stream_packer
+            self._scratch = make_stream_packer(data.num_nodes, pk_cfg)
+            if not getattr(self._scratch, "rows_api_available",
+                           lambda: False)():
+                self._scratch = StreamPacker(data.num_nodes, pk_cfg)
+            # share the sticky-bucket table so scratch packs land in the
+            # same shape buckets as the serial/tail path (compose
+            # invariant + one compiled signature)
+            if hasattr(self.packer, "_sticky"):
+                self._scratch._sticky = self.packer._sticky
         K = config.sampling.num_neighbors
         IW = config.train.max_intra_block
         N = data.num_nodes
@@ -147,6 +181,13 @@ class MultiHostEngine(Engine):
             self.warm_buckets()
             self._warmed = True
         self.packer.reset_cache()
+        owned = self.exchange == "owned"
+        if owned:
+            # owners pick up the serial state (clocks persist across
+            # epochs; the tail/eval phases advanced self.packer)
+            for ow in self._owners:
+                ow.reset_cache()
+                ow.load_from_serial(self.packer)
         if self.use_memory:
             self.mem_state = init_memory_state(self.mem_cfg)
         rows_all = self._rows["train"]
@@ -161,28 +202,62 @@ class MultiHostEngine(Engine):
         t0_epoch = _time.perf_counter()
         for lo in range(0, n_full, sb):
             ranges = partition_super_batch(lo, lo + sb, n, B)
-            snap = self.packer.snapshot()
-            ptr0 = np.asarray(self.packer.mail_ptr).copy()
-            batches, wires = [], []
-            for r in ranges:
-                idx = rows_all[r.lo:r.hi]
-                src, dst, t = d.src[idx], d.dst[idx], d.t[idx]
-                neg = self.neg_sampler.sample(dst)
-                blk = blocks_all[r.lo:r.hi]
-                batches.append((src, dst, t, idx, neg))
-                # host r.host's local view: super-batch-start state
-                # (bounded staleness — it cannot see sibling ranges)
+            if owned:
+                from .owned_state import (gather_mail,
+                                          pack_with_gathered_state)
+                batches, wires = [], []
+                for r in ranges:
+                    idx = rows_all[r.lo:r.hi]
+                    src, dst, t = d.src[idx], d.dst[idx], d.t[idx]
+                    neg = self.neg_sampler.sample(dst)
+                    blk = blocks_all[r.lo:r.hi]
+                    batches.append((src, dst, t, idx, neg, blk))
+                    # host r.host's local view: super-batch-start OWNER
+                    # state via boundary gathers (bounded staleness —
+                    # owners advance only after every range packed)
+                    w, _, _ = pack_with_gathered_state(
+                        self._scratch, self._owners, src, dst, t, idx,
+                        blk, neg)
+                    wires.append(w)
+                # mail slot re-plan reads the super-batch-start ring
+                # pointers of the write nodes (owner-authoritative)
+                wr = np.unique(np.concatenate(
+                    [np.concatenate([b[0], b[1]]) for b in batches]
+                ).astype(np.int64))
+                ptrs, _ = gather_mail(self._owners, wr)
+                ptr0 = np.zeros(d.num_nodes, np.int64)
+                ptr0[wr] = ptrs
+                # authoritative state advance, stream order, O(1/n) heavy
+                # work per owner
+                for src, dst, t, idx, neg, blk in batches:
+                    for ow in self._owners:
+                        ow.apply_batch(src, dst, t, blk, neg, e_id=idx)
+                batches = [b[:5] for b in batches]
+            else:
+                snap = self.packer.snapshot()
+                ptr0 = np.asarray(self.packer.mail_ptr).copy()
+                batches, wires = [], []
+                for r in ranges:
+                    idx = rows_all[r.lo:r.hi]
+                    src, dst, t = d.src[idx], d.dst[idx], d.t[idx]
+                    neg = self.neg_sampler.sample(dst)
+                    blk = blocks_all[r.lo:r.hi]
+                    batches.append((src, dst, t, idx, neg))
+                    # host r.host's local view: super-batch-start state
+                    # (bounded staleness — it cannot see sibling ranges)
+                    self.packer.restore(snap)
+                    w, _ = self.packer.pack_wire(src, dst, t, idx, blk,
+                                                 neg)
+                    wires.append(w)
+                # restore serial state for the NEXT super-batch: host=-1
+                # treats every range as remote (cache inserts + clock
+                # replay + mail advance over the whole super-batch in
+                # stream order)
                 self.packer.restore(snap)
-                w, _ = self.packer.pack_wire(src, dst, t, idx, blk, neg)
-                wires.append(w)
-            # restore serial state for the NEXT super-batch: host=-1
-            # treats every range as remote (cache inserts + clock replay
-            # + mail advance over the whole super-batch in stream order)
-            self.packer.restore(snap)
-            payloads = [_encode(*b) for b in batches]
-            SuperBatchExchanger(self.packer, -1, n,
-                                allgather=lambda _p: payloads
-                                ).exchange(*batches[0])
+                payloads = [_encode(*b) for b in batches]
+                SuperBatchExchanger(self.packer, -1, n,
+                                    allgather=lambda _p: payloads
+                                    ).exchange(*batches[0])
             if self.use_memory:
                 plans, _ = replan_mail_slots(
                     [b[0] for b in batches], [b[1] for b in batches],
@@ -210,6 +285,13 @@ class MultiHostEngine(Engine):
             acc = self._sb_metrics(acc, loss, pos, neg_l, valid)
             total += sb
             self._step += n
+        # owned mode: hand the serial packer back its full state (one
+        # O(N) gather per epoch) so the tail and the inherited
+        # eval/checkpoint/snapshot machinery operate on exact serial
+        # state; owners re-seed from it at the next epoch start
+        if owned:
+            from .owned_state import restore_serial_from_owners
+            restore_serial_from_owners(self.packer, self._owners)
         # epoch tail: fewer than n*B events — inherited single-host
         # serial step (state stays exact; no composed padding waste)
         if n_full < len(rows_all):

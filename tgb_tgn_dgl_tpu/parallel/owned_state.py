@@ -64,6 +64,9 @@ def _owned_lib():
             c.c_void_p, i64p, c.c_int64, i32p, i64p, f32p, f32p, u8p]
         lib.owned_get_mail.argtypes = [
             c.c_void_p, i64p, c.c_int64, i64p, u8p]
+        lib.owned_reset_cache.argtypes = [c.c_void_p]
+        lib.owned_load_from_serial.argtypes = [
+            c.c_void_p, i32p, i64p, f32p, f32p, i64p]
         lib.owned_get_state.argtypes = [
             c.c_void_p, i32p, i64p, f32p, f32p, i64p,
             c.POINTER(c.c_int64)]
@@ -203,6 +206,23 @@ class NodeRangeOwnedState:
         ptr[m] = self.mail_ptr[nodes[m] - self.lo]
         return ptr, m
 
+    def reset_cache(self) -> None:
+        """Epoch-start reset: cache + mail clear, clocks persist
+        (StreamPacker.reset_cache semantics)."""
+        self.cache_eid.fill(-1)
+        self.cache_t.fill(-1.0)
+        self.mail_ptr.fill(0)
+
+    def load_from_serial(self, packer) -> None:
+        """Re-seed the owned range from a serial packer's state (after a
+        serially-executed phase advanced it, e.g. the eval protocol)."""
+        sl = slice(self.lo, self.hi)
+        self.cache_nbr[:] = np.asarray(packer.cache_nbr)[sl]
+        self.cache_eid[:] = np.asarray(packer.cache_eid)[sl]
+        self.cache_t[:] = np.asarray(packer.cache_t)[sl]
+        self.clock[:] = np.asarray(packer.clock)[sl]
+        self.mail_ptr[:] = np.asarray(packer.mail_ptr)[sl]
+
 
 class NativeNodeRangeOwnedState:
     """C++ twin of NodeRangeOwnedState (csrc/owned_state.cpp) — same
@@ -265,6 +285,18 @@ class NativeNodeRangeOwnedState:
         if n:
             self._lib.owned_get_mail(self._h, nodes, n, ptr, owned)
         return ptr, owned.astype(bool)
+
+    def reset_cache(self) -> None:
+        self._lib.owned_reset_cache(self._h)
+
+    def load_from_serial(self, packer) -> None:
+        self._lib.owned_load_from_serial(
+            self._h,
+            np.ascontiguousarray(packer.cache_nbr, np.int32),
+            np.ascontiguousarray(packer.cache_eid, np.int64),
+            np.ascontiguousarray(packer.cache_t, np.float32),
+            np.ascontiguousarray(packer.clock, np.float32),
+            np.ascontiguousarray(packer.mail_ptr, np.int64))
 
     def _dump(self):
         n_own = self.hi - self.lo
@@ -398,3 +430,25 @@ def pack_with_gathered_state(scratch, owners: Sequence, src, dst, t,
         dirty = np.unique(np.concatenate([roots, extra, wr_nodes]))
         scratch.clear_rows(dirty, zero_all_clocks=eval_mode)
     return wire, iw, b1 + b2 + b3
+
+
+def restore_serial_from_owners(packer, owners: Sequence) -> None:
+    """Reconstruct a serial packer's full state from the range owners
+    (one O(N) gather — used once per epoch at the owned-mode tail
+    boundary, parallel/mh_engine.py).  ``cur_e_id`` rebuilds as
+    max(cache e_id) + 1: the most recent insert always survives in its
+    endpoints' top-K-by-eid rows, so the max is exact."""
+    N = owners[-1].hi
+    nodes = np.arange(N, dtype=np.int64)
+    nbr, eid, ct, clock, _ = gather_rows(owners, nodes)
+    mail, _ = gather_mail(owners, nodes)
+    cur = int(eid.max()) + 1 if eid.size and eid.max() >= 0 else 0
+    if hasattr(packer, "load_state"):            # native packer
+        packer.load_state(nbr, eid, ct, clock, cur, mail)
+    else:
+        packer.cache_nbr[:] = nbr
+        packer.cache_eid[:] = eid
+        packer.cache_t[:] = ct
+        packer.clock[:] = clock
+        packer.mail_ptr[:] = mail
+        packer.cur_e_id = cur
