@@ -1,0 +1,101 @@
+"""Slot-unique eval (engine/train.py::_evaluate_unique) vs the
+column-chunk protocol: identical metrics and identical stream state.
+
+The slot-unique mode packs each eval batch once with the full
+M-negative matrix (per-block root sets dedup to the unique candidates),
+scans the embed over root-slot chunks into one table, and ranks by
+gathers — it must be EXACTLY the chunked protocol's result: the same
+(node, block) embeddings, the same predictor math, and integer rank
+counts that are associative over any column partition.
+"""
+import numpy as np
+import pytest
+
+from tgb_tgn_dgl_tpu.data.dataset import synthetic
+from tgb_tgn_dgl_tpu.engine.train import Engine
+from tgb_tgn_dgl_tpu.utils.config import parse_config_dict
+
+
+def _conf(frozen, unique, neg_mode="truncate_min"):
+    return parse_config_dict({
+        "sampling": [{"neighbor": [5]}],
+        "memory": [{"dim_out": 16, "dim_time": 16, "mailbox_size": 2}],
+        "gnn": [{"dim_out": 16, "att_head": 2, "dim_time": 16}],
+        "train": [{"batch_size": 150, "lr": 1e-3, "dropout": 0.0,
+                   "att_dropout": 0.0, "frozen_memory": frozen,
+                   "eval_slot_unique": unique, "eval_neg_mode": neg_mode,
+                   "seed": 11}],
+    })
+
+
+@pytest.fixture(scope="module")
+def ev_data():
+    return synthetic("eval-unique", num_edges=1400, num_nodes=120,
+                     msg_dim=6, num_neg=7, seed=19)
+
+
+@pytest.mark.parametrize("frozen", [True, False])
+def test_unique_eval_matches_chunked(ev_data, frozen):
+    a = Engine(ev_data, _conf(frozen, unique=False))
+    b = Engine(ev_data, _conf(frozen, unique=True))
+    assert b._eval_unique_supported()
+    for eng in (a, b):
+        eng.train_epoch()
+    va, vb = a.evaluate("val"), b.evaluate("val")
+    np.testing.assert_allclose(va, vb, rtol=0, atol=0)
+    # stream state advanced identically through eval
+    np.testing.assert_array_equal(a.packer.cache_eid, b.packer.cache_eid)
+    np.testing.assert_array_equal(a.packer.clock, b.packer.clock)
+    np.testing.assert_array_equal(a.packer.mail_ptr, b.packer.mail_ptr)
+    # the test split continues from it identically
+    ta, tb = a.evaluate("test"), b.evaluate("test")
+    np.testing.assert_allclose(ta, tb, rtol=0, atol=0)
+
+
+def test_unique_eval_pad_mask_mode(ev_data):
+    a = Engine(ev_data, _conf(True, unique=False, neg_mode="pad_mask"))
+    b = Engine(ev_data, _conf(True, unique=True, neg_mode="pad_mask"))
+    a.train_epoch()
+    b.train_epoch()
+    np.testing.assert_allclose(a.evaluate("val"), b.evaluate("val"),
+                               rtol=0, atol=0)
+
+
+def test_unique_eval_small_chunks_exercise_scan(ev_data):
+    """Force multiple embed chunks by shrinking the per-chunk budget —
+    the scan + dynamic_update_slice path must agree with one chunk."""
+    import tgb_tgn_dgl_tpu.engine.train as T
+
+    b = Engine(ev_data, _conf(True, unique=True))
+    b.train_epoch()
+    want = b.evaluate("val")
+
+    c = Engine(ev_data, _conf(True, unique=True))
+    c.train_epoch()
+    src = T.Engine._eval_unique_batches
+    # monkeypatch the chunk budget: 49152 -> 256 root slots
+    import types
+
+    def patched(self, split, fixed, B, nb_bucket):
+        for item in src(self, split, fixed, B, nb_bucket):
+            yield item
+
+    # easier: patch via generator rewrapping is a no-op; instead patch
+    # the constant by re-preparing wires with a tiny budget
+    orig = T.Engine._eval_unique_batches
+
+    def tiny(self, split, fixed, B, nb_bucket):
+        for (lo, hi, M, wire, iw, mask, n_chunks,
+             n_mc) in orig(self, split, fixed, B, nb_bucket):
+            R = np.asarray(wire.root_loc).shape[0]
+            n2 = max(1, R // 256)
+            while R % n2:
+                n2 -= 1
+            yield lo, hi, M, wire, iw, mask, n2, n_mc
+
+    T.Engine._eval_unique_batches = tiny
+    try:
+        got = c.evaluate("val")
+    finally:
+        T.Engine._eval_unique_batches = orig
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)

@@ -634,6 +634,227 @@ class Engine:
         self._eval_finalize = (jax.jit(finalize, donate_argnums=(0,))
                                if self._jit else finalize)
 
+    # --------------------------------------------- slot-unique eval (v3)
+    # The column-chunk protocol (evaluate below) embeds each (node,
+    # block) pair once per negative chunk — ~M/Mc times per batch.  But
+    # a root slot's embedding depends only on its (node, block) pair
+    # (cache row + eval clock state + intra window are all functions of
+    # the node and the block, never of WHICH other candidates are
+    # roots), so packing the batch ONCE with the full M-negative matrix
+    # dedups the per-block root sets to the unique candidates (~5x
+    # fewer slot embeddings at wiki scale), and ranks come from pure
+    # gathers into one embedding table.  Bit-identical ranks: same
+    # embedding values, same predictor math, integer rank counts are
+    # associative over any column partition
+    # (tests/test_eval_unique.py proves MRR equality vs the chunked
+    # protocol).  Requires lean dedup wires + gnn.layer == 1 (the same
+    # restriction as DedupWire) and lazy (non-DyRep) memory.
+
+    def _eval_unique_supported(self) -> bool:
+        return (self.config.train.eval_slot_unique and self._wire_dedup
+                and not self.device_cache and not self._rslot
+                and not (self.use_memory and self.eager_memory)
+                and hasattr(self.packer, "pack_wire_dedup"))
+
+    def _build_unique_eval_step(self):
+        model_cfg = self.model_cfg
+        arch = self.arch
+        K = self.config.sampling.num_neighbors
+        N = self.data.num_nodes
+        B = self.config.train.batch_size
+        use_mem = self.use_memory
+        mem_cfg = self.mem_cfg if use_mem else None
+        SLOT_FIELDS = ("root_loc", "root_cr", "intra_lo", "intra_cnt",
+                       "intra_start", "root_blk")
+
+        from ..models.tgnn import edge_predictor
+
+        def step(params, memory_or_state, tables, wire, mask,
+                 iw, n_chunks, n_mc):
+            feats, times = tables
+            R2 = wire.root_loc.shape[0]
+            Rc = R2 // n_chunks
+            D = model_cfg.hidden_dim
+
+            # one cheap expand for the chunk-independent parts (uniq
+            # table + mailbox write plan — all (Ub,)/(2B,) fields)
+            sub0 = wire._replace(**{
+                f: getattr(wire, f)[:Rc] for f in SLOT_FIELDS
+                if getattr(wire, f) is not None})
+            pack0 = expand_any(sub0, K, iw, N, times, eval_mode=True)
+            if use_mem:
+                mem_rows, lu_rows = apply_mail(
+                    params["memory"], mem_cfg, memory_or_state,
+                    pack0.uniq_nid, feats)
+
+            xs = tuple(
+                getattr(wire, f).reshape(n_chunks, Rc)
+                for f in SLOT_FIELDS if getattr(wire, f) is not None)
+            xs_fields = tuple(
+                f for f in SLOT_FIELDS
+                if getattr(wire, f) is not None)
+
+            def embed_body(carry, x):
+                emb, off = carry
+                sub = wire._replace(**dict(zip(xs_fields, x)))
+                pack = expand_any(sub, K, iw, N, times, eval_mode=True)
+                if use_mem:
+                    e = arch_embed(params, arch, model_cfg, mem_rows,
+                                   lu_rows, feats, pack, train=False,
+                                   local=True)
+                else:
+                    e = tgnn_embed(params, model_cfg, memory_or_state,
+                                   feats, pack, train=False)
+                emb = jax.lax.dynamic_update_slice(
+                    emb, e.astype(emb.dtype), (off, 0))
+                return (emb, off + Rc), None
+
+            emb0 = jnp.zeros((R2, D), model_cfg.compute_dtype)
+            (emb, _), _ = jax.lax.scan(embed_body,
+                                       (emb0, jnp.int32(0)), xs)
+
+            # scoring: gathers into the table, scanned over negative
+            # column chunks (identical per-column math to score_counts)
+            h_src = emb[wire.ev_src_slot.astype(jnp.int32)]
+            h_pos = emb[wire.ev_pos_slot.astype(jnp.int32)]
+            neg_slot = wire.ev_neg_slot.astype(jnp.int32)   # (B, Mp)
+            Mc2 = neg_slot.shape[1] // n_mc
+            ns_x = neg_slot.reshape(B, n_mc, Mc2).transpose(1, 0, 2)
+            m_x = mask.reshape(B, n_mc, Mc2).transpose(1, 0, 2)
+
+            def score_body(carry, x):
+                opt, pes = carry
+                ns, m = x
+                pos, neg = edge_predictor(params["pred"], h_src, h_pos,
+                                          emb[ns])
+                p = pos[:, None]
+                gt = jnp.logical_and(neg > p, m)
+                ge = jnp.logical_and(neg >= p, m)
+                return (opt + gt.sum(axis=1).astype(jnp.int32),
+                        pes + ge.sum(axis=1).astype(jnp.int32)), None
+
+            z = jnp.zeros(B, jnp.int32)
+            (opt, pes), _ = jax.lax.scan(score_body, (z, z), (ns_x, m_x))
+
+            if use_mem:
+                mem_state = commit(mem_cfg, memory_or_state,
+                                   pack0.uniq_nid, mem_rows, lu_rows,
+                                   pack0.mw_node, pack0.mw_slot,
+                                   pack0.mw_partner, pack0.mw_t,
+                                   pack0.mw_eid)
+                return opt, pes, mem_state
+            return opt, pes
+
+        if self._jit:
+            return jax.jit(step, static_argnums=(5, 6, 7),
+                           donate_argnums=(1,) if use_mem else ())
+        return step
+
+    def _eval_unique_batches(self, split: str, fixed, B: int, nb_bucket):
+        """One full-M lean dedup wire per batch, padded to an embed-
+        chunk multiple; packs run one batch ahead on the C++ worker
+        when available (same pipeline as _eval_packed_chunks)."""
+        d = self.data
+
+        def prep(out, blk, braw, M, qmask):
+            wire, iw = out
+            wire = eval_lean_dedup(wire, blk, nb_bucket)
+            assert wire.cache_dt is None, (
+                "slot-unique eval requires the lean wire")
+            R = wire.root_loc.shape[0]
+            n_chunks = max(1, -(-R // 49152))
+            Rc = -(-R // n_chunks)
+            R2 = n_chunks * Rc
+            if R2 != R:
+                Ub = wire.uniq_nid.shape[0]
+                pads = {
+                    "root_loc": Ub - 1, "root_cr": 0, "intra_lo": 0,
+                    "intra_cnt": 0, "intra_start": 0, "root_blk": 0,
+                }
+                wire = wire._replace(**{
+                    f: np.concatenate(
+                        [np.asarray(getattr(wire, f)),
+                         np.full(R2 - R, v,
+                                 np.asarray(getattr(wire, f)).dtype)])
+                    for f, v in pads.items()})
+            # pad negative columns to a 256-multiple for the score scan
+            n_mc = max(1, -(-M // 256))
+            Mp = n_mc * 256
+            ns = np.asarray(wire.ev_neg_slot).reshape(B, -1)
+            mask = np.zeros((B, Mp), bool)
+            mask[:braw, :M] = True
+            if qmask is not None:       # pad_mask ragged negatives
+                mask[:braw, :M] &= np.asarray(qmask, bool)
+            if Mp != M:
+                ns = np.concatenate(
+                    [ns, np.zeros((B, Mp - M), ns.dtype)], axis=1)
+            wire = wire._replace(ev_neg_slot=ns)
+            return wire, iw, mask, n_chunks, n_mc
+
+        use_async = getattr(self.packer, "async_available",
+                            lambda: False)()
+        pend = None                     # (lo, hi, M, args, qmask)
+        for lo, hi, rows, blk in self._iter_batches(split):
+            src, dst, t = d.src[rows], d.dst[rows], d.t[rows]
+            neg, qmask = fixed.query_batch(lo, hi)
+            neg2d = np.asarray(neg).reshape(len(rows), -1)
+            M = neg2d.shape[1]
+            args = (src, dst, t, rows, blk, neg2d)
+            ready = None
+            if pend is not None:
+                out = self.packer.pack_wire_dedup_fetch()
+                if out is None:
+                    out = self._pack_dedup(*pend[3], True)
+                ready = pend[:3] + prep(out, pend[3][4],
+                                        pend[1] - pend[0], pend[2],
+                                        pend[4])
+                pend = None
+            # submit the NEXT pack before yielding, so the C++ worker
+            # overlaps the consumer's dispatch of the previous batch
+            if use_async and self.packer.pack_wire_dedup_submit(
+                    *args, eval_mode=True):
+                pend = (lo, hi, M, args, qmask)
+                if ready is not None:
+                    yield ready
+                continue
+            if ready is not None:
+                yield ready
+            out = self._pack_dedup(*args, True)
+            assert out is not None, "slot-unique eval needs dedup packs"
+            yield (lo, hi, M) + prep(out, blk, hi - lo, M, qmask)
+        if pend is not None:
+            out = self.packer.pack_wire_dedup_fetch()
+            if out is None:
+                out = self._pack_dedup(*pend[3], True)
+            yield pend[:3] + prep(out, pend[3][4], pend[1] - pend[0],
+                                  pend[2], pend[4])
+
+    def _evaluate_unique(self, split: str, fixed, B: int,
+                         nb_bucket: int) -> float:
+        if not hasattr(self, "_unique_eval_step"):
+            self._unique_eval_step = self._build_unique_eval_step()
+        acc = jnp.zeros(2, jnp.float32)
+        for (lo, hi, M, wire, iw, mask, n_chunks,
+             n_mc) in self._eval_unique_batches(split, fixed, B,
+                                                nb_bucket):
+            self.dispatch_count += 2     # step + finalize
+            if self.use_memory:
+                opt, pes, self.mem_state = self._unique_eval_step(
+                    self.params, self.mem_state, self._tables, wire,
+                    mask, iw, n_chunks, n_mc)
+            else:
+                opt, pes = self._unique_eval_step(
+                    self.params, self.memory, self._tables, wire, mask,
+                    iw, n_chunks, n_mc)
+            valid = jnp.asarray(np.arange(B) < (hi - lo))
+            acc = self._eval_finalize(acc, opt, pes, valid)
+        try:
+            acc.copy_to_host_async()
+        except Exception:
+            pass
+        vals = np.asarray(acc)
+        return float(vals[0] / max(vals[1], 1.0))
+
     # ------------------------------------------------- device-cache mode
     # Lean variants (train.device_cache=True): the streaming state
     # (recency cache + clocks) is a donated device pytree threaded through
@@ -1049,10 +1270,15 @@ class Engine:
                 probe.pack_wire(src, dst, t, rows, blk, neg)
             done += 1
         # eval-profile pre-warm: replay the first val batches with the
-        # engine's chunk protocol (mirrors Engine.evaluate's Mc math)
+        # SAME protocol evaluate will use (slot-unique full-M packs, or
+        # the Mc column-chunk math)
         if eval_batches and d.val_ns is not None:
             fixed = FixedNegatives(d.val_ns,
                                    mode=self.config.train.eval_neg_mode)
+            # ShardedEngine borrows this method without the slot-unique
+            # machinery — default to the chunk protocol there
+            unique = getattr(self, "_eval_unique_supported",
+                             lambda: False)()
             done = 0
             for lo, hi, rows, blk in self._iter_batches("val"):
                 if done >= eval_batches:
@@ -1061,6 +1287,14 @@ class Engine:
                 neg, _mask = fixed.query_batch(lo, hi)
                 neg2d = np.asarray(neg).reshape(len(rows), -1)
                 M = neg2d.shape[1]
+                if unique:
+                    out = probe.pack_wire_dedup(src, dst, t, rows, blk,
+                                                neg2d, eval_mode=True)
+                    if out is None:
+                        probe.pack_wire(src, dst, t, rows, blk, neg2d,
+                                        eval_mode=True)
+                    done += 1
+                    continue
                 Mc = eval_neg_chunk_size(self.config, M, hi - lo)
                 n_chunks = -(-M // Mc)
                 for ci in range(n_chunks):
@@ -1484,6 +1718,17 @@ class Engine:
             raise ValueError(f"no fixed negatives for split '{split}'")
         fixed = FixedNegatives(ns, mode=self.config.train.eval_neg_mode)
         B = self.config.train.batch_size
+        if self._eval_unique_supported():
+            # slot-unique protocol (see _build_unique_eval_step): needs
+            # the block count to fit the lean wire's u8 field
+            nb_max = 1
+            for _lo, _hi, _rows, _blk in self._iter_batches(split):
+                nb_max = max(nb_max, int(_blk.max()) + 1)
+            if nb_max <= 255:
+                nb_bucket = 16
+                while nb_bucket < nb_max:
+                    nb_bucket *= 2
+                return self._evaluate_unique(split, fixed, B, nb_bucket)
         acc = jnp.zeros(2, jnp.float32)
         inflight = []
         max_inflight = self.config.train.max_inflight_batches

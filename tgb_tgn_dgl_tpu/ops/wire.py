@@ -462,6 +462,11 @@ class DedupWire(NamedTuple):
     ev_blk: Optional[jnp.ndarray] = None     # (B,) u8 block of each event
     blk_max: Optional[jnp.ndarray] = None    # (NBb,) f32 per-block wipe
                                              # value (block max time)
+    # endpoint uniq-locs (precomputed host-side so the clock-grid build
+    # never reads the (R,) root_loc table — root-slot fields may arrive
+    # SLICED in the slot-unique eval's embed chunks)
+    ev_src_loc: Optional[jnp.ndarray] = None  # (B,) i32
+    ev_dst_loc: Optional[jnp.ndarray] = None  # (B,) i32
 
 
 def eval_lean_dedup(wire: DedupWire, blocks, nb_bucket: int):
@@ -493,14 +498,23 @@ def eval_lean_dedup(wire: DedupWire, blocks, nb_bucket: int):
     # event slot map of its own block (roots = unique(src ∪ dst ∪ neg)
     # per block), so scatter the event blocks through the slot maps
     root_blk = np.zeros(R, np.uint8)
-    root_blk[np.asarray(wire.ev_src_slot, np.int64)[:braw]] = ev_blk[:braw]
-    root_blk[np.asarray(wire.ev_pos_slot, np.int64)[:braw]] = ev_blk[:braw]
+    src_slot = np.asarray(wire.ev_src_slot, np.int64)
+    pos_slot = np.asarray(wire.ev_pos_slot, np.int64)
+    root_blk[src_slot[:braw]] = ev_blk[:braw]
+    root_blk[pos_slot[:braw]] = ev_blk[:braw]
     neg_slot = np.asarray(wire.ev_neg_slot, np.int64)
     neg2d = neg_slot.reshape(B, -1)[:braw]
     root_blk[neg2d] = ev_blk[:braw, None]
+    # endpoint uniq-locs for the device clock-grid build (see the
+    # DedupWire field comment): root_loc composed with the slot maps,
+    # resolved HERE so chunked consumers never index the full table
+    root_loc = np.asarray(wire.root_loc, np.int64)
+    ev_src_loc = root_loc[np.clip(src_slot, 0, R - 1)].astype(np.int32)
+    ev_dst_loc = root_loc[np.clip(pos_slot, 0, R - 1)].astype(np.int32)
     return wire._replace(cache_dt=None, self_dt=None, ia_dt=None,
                          root_blk=root_blk, ev_blk=ev_blk,
-                         blk_max=blk_max)
+                         blk_max=blk_max, ev_src_loc=ev_src_loc,
+                         ev_dst_loc=ev_dst_loc)
 
 
 def _mw_from_slots(mw_slot, ev_src, ev_dst, ev_t, ev_idx, num_nodes):
@@ -583,8 +597,8 @@ def expand_dedup(wire: DedupWire, num_neighbors: int, intra_width: int,
         NBb = wire.blk_max.shape[0]
         root_blk = i32(wire.root_blk)                    # (R,)
         ev_blk = i32(wire.ev_blk)                        # (B,)
-        loc_src = root_loc[src_slot]
-        loc_dst = root_loc[pos_slot]
+        loc_src = i32(wire.ev_src_loc)
+        loc_dst = i32(wire.ev_dst_loc)
         tval = jnp.where(wire.ev_valid, wire.ev_t, -1.0)
         grid = jnp.full((Ub, NBb), -1.0, jnp.float32)
         grid = grid.at[jnp.concatenate([loc_dst, loc_src]),

@@ -131,6 +131,15 @@ class TrainConfig:
     # causal context (reference model_utils.py:85-92), so M=999 on one
     # grid OOMs HBM.  None = auto (~24K root slots per chunk).
     eval_neg_chunk: Optional[int] = None
+    # Slot-unique eval (the column-chunk protocol above embeds each
+    # (node, block) pair once PER CHUNK — ~M/Mc times per batch; this
+    # mode packs the batch ONCE with all M negatives, whose per-block
+    # root sets dedup to the unique candidates, scans the embed over
+    # root-slot chunks into one (R, D) table, and scores by gathers —
+    # ~5x less embed compute at wiki scale, bit-identical ranks).
+    # Auto-falls back to column chunking when unsupported (non-dedup
+    # wires, gnn.layer > 1, DyRep eager memory, device-cache mode).
+    eval_slot_unique: bool = True
     # dtype for the dense compute path: 'float32' | 'bfloat16'
     compute_dtype: str = "float32"
     # Debug short-circuit (reference sanity_check/sanity flags,
