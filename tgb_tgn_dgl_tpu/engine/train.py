@@ -651,10 +651,39 @@ class Engine:
     # restriction as DedupWire) and lazy (non-DyRep) memory.
 
     def _eval_unique_supported(self) -> bool:
-        return (self.config.train.eval_slot_unique and self._wire_dedup
+        return (self.config.train.eval_slot_unique in (True, "auto")
+                and self._wire_dedup
                 and not self.device_cache and not self._rslot
                 and not (self.use_memory and self.eager_memory)
                 and hasattr(self.packer, "pack_wire_dedup"))
+
+    def _eval_unique_active(self, split: str, ns, B: int):
+        """(use_slot_unique, nb_bucket) for a split: structural support
+        + the block count fits the lean wire's u8 field + (in 'auto')
+        the estimated per-block candidate dedup is ≥1.5× — on large-N
+        datasets (draws/block ≪ N) nearly every candidate is unique and
+        the single full-M pack buys nothing over column chunks."""
+        if not self._eval_unique_supported():
+            return False, 0
+        nb_max = 1
+        for _lo, _hi, _rows, _blk in self._iter_batches(split):
+            nb_max = max(nb_max, int(_blk.max()) + 1)
+        if nb_max > 255:
+            return False, 0
+        if self.config.train.eval_slot_unique == "auto":
+            ns_arr = np.asarray(ns)
+            M = (ns_arr.shape[1] if ns_arr.ndim == 2 else
+                 max((len(x) for x in ns_arr), default=1))
+            draws_per_block = (2 + M) * B / max(nb_max, 1)
+            N = self.data.num_nodes
+            dedup_win = draws_per_block / max(
+                N * (1.0 - np.exp(-draws_per_block / N)), 1.0)
+            if dedup_win < 1.5:
+                return False, 0
+        nb_bucket = 16
+        while nb_bucket < nb_max:
+            nb_bucket *= 2
+        return True, nb_bucket
 
     def _build_unique_eval_step(self):
         model_cfg = self.model_cfg
@@ -1275,10 +1304,14 @@ class Engine:
         if eval_batches and d.val_ns is not None:
             fixed = FixedNegatives(d.val_ns,
                                    mode=self.config.train.eval_neg_mode)
-            # ShardedEngine borrows this method without the slot-unique
-            # machinery — default to the chunk protocol there
-            unique = getattr(self, "_eval_unique_supported",
-                             lambda: False)()
+            # pre-warm the SAME protocol evaluate will pick
+            # (ShardedEngine borrows this method without the
+            # slot-unique machinery — chunk protocol there)
+            if hasattr(self, "_eval_unique_active"):
+                unique, _nb = self._eval_unique_active(
+                    "val", d.val_ns, self.config.train.batch_size)
+            else:
+                unique = False
             done = 0
             for lo, hi, rows, blk in self._iter_batches("val"):
                 if done >= eval_batches:
@@ -1718,17 +1751,9 @@ class Engine:
             raise ValueError(f"no fixed negatives for split '{split}'")
         fixed = FixedNegatives(ns, mode=self.config.train.eval_neg_mode)
         B = self.config.train.batch_size
-        if self._eval_unique_supported():
-            # slot-unique protocol (see _build_unique_eval_step): needs
-            # the block count to fit the lean wire's u8 field
-            nb_max = 1
-            for _lo, _hi, _rows, _blk in self._iter_batches(split):
-                nb_max = max(nb_max, int(_blk.max()) + 1)
-            if nb_max <= 255:
-                nb_bucket = 16
-                while nb_bucket < nb_max:
-                    nb_bucket *= 2
-                return self._evaluate_unique(split, fixed, B, nb_bucket)
+        active, nb_bucket = self._eval_unique_active(split, ns, B)
+        if active:
+            return self._evaluate_unique(split, fixed, B, nb_bucket)
         acc = jnp.zeros(2, jnp.float32)
         inflight = []
         max_inflight = self.config.train.max_inflight_batches

@@ -137,9 +137,13 @@ class TrainConfig:
     # root sets dedup to the unique candidates, scans the embed over
     # root-slot chunks into one (R, D) table, and scores by gathers —
     # ~5x less embed compute at wiki scale, bit-identical ranks).
-    # Auto-falls back to column chunking when unsupported (non-dedup
-    # wires, gnn.layer > 1, DyRep eager memory, device-cache mode).
-    eval_slot_unique: bool = True
+    # 'auto' = use it when the estimated per-block candidate dedup is
+    # ≥1.5x (small-N datasets like tgbl-wiki; on large-N streams nearly
+    # every candidate is unique and column chunking is equal-cost);
+    # True = force, False = off.  Falls back to column chunking when
+    # structurally unsupported (non-dedup wires, gnn.layer > 1, DyRep
+    # eager memory, device-cache mode).
+    eval_slot_unique: object = "auto"
     # dtype for the dense compute path: 'float32' | 'bfloat16'
     compute_dtype: str = "float32"
     # Debug short-circuit (reference sanity_check/sanity flags,
