@@ -99,3 +99,30 @@ def test_unique_eval_small_chunks_exercise_scan(ev_data):
     finally:
         T.Engine._eval_unique_batches = orig
     np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_auto_gate_scales():
+    """The 'auto' gate: slot-unique on small-N (real per-block dedup),
+    column chunks on large-N (candidates ~unique per block), and loud
+    rejection of invalid knob values."""
+    cfg = parse_config_dict({
+        "sampling": [{"neighbor": [5]}],
+        "gnn": [{"dim_out": 16, "att_head": 2, "dim_time": 16}],
+        "train": [{"batch_size": 500, "frozen_memory": True}],
+    })
+    small = synthetic("gate-s", num_edges=4000, num_nodes=300, msg_dim=4,
+                      num_neg=99, seed=5)
+    e1 = Engine(small, cfg)
+    active, nb = e1._eval_unique_active("val", small.val_ns, 500)
+    assert active and nb >= 16
+
+    big = synthetic("gate-b", num_edges=4000, num_nodes=60000, msg_dim=4,
+                    num_neg=20, seed=5)
+    e2 = Engine(big, cfg)
+    active, _ = e2._eval_unique_active("val", big.val_ns, 500)
+    assert not active
+
+    with pytest.raises(ValueError, match="eval_slot_unique"):
+        parse_config_dict({
+            "train": [{"eval_slot_unique": "true"}],
+        }).validate()

@@ -665,9 +665,8 @@ class Engine:
         the single full-M pack buys nothing over column chunks."""
         if not self._eval_unique_supported():
             return False, 0
-        nb_max = 1
-        for _lo, _hi, _rows, _blk in self._iter_batches(split):
-            nb_max = max(nb_max, int(_blk.max()) + 1)
+        blocks = self.blocks_for(split)
+        nb_max = int(blocks.max()) + 1 if len(blocks) else 1
         if nb_max > 255:
             return False, 0
         if self.config.train.eval_slot_unique == "auto":
@@ -1491,9 +1490,8 @@ class Engine:
         tiny per-block metadata (expand_dedup's lean branch)."""
         # static block-count bucket for the whole pass: ONE compiled
         # signature instead of a mid-eval ratchet
-        nb_max = 1
-        for _lo, _hi, _rows, _blk in self._iter_batches(split):
-            nb_max = max(nb_max, int(_blk.max()) + 1)
+        blocks_split = self.blocks_for(split)
+        nb_max = int(blocks_split.max()) + 1 if len(blocks_split) else 1
         nb_bucket = 16
         while nb_bucket < nb_max:
             nb_bucket *= 2

@@ -230,6 +230,11 @@ class FrameworkConfig:
         docstring) instead of silently ignoring them — a config that
         asks for unimplemented semantics must fail loudly."""
         s, m, t = self.sampling, self.memory, self.train
+        if t.eval_slot_unique not in (True, False, "auto"):
+            raise ValueError(
+                f"train.eval_slot_unique must be True, False or 'auto' "
+                f"(got {t.eval_slot_unique!r}) — a quoted YAML 'true' "
+                f"would otherwise silently disable the slot-unique eval")
         if s.prop_time:
             raise NotImplementedError(
                 "sampling.prop_time is schema-only (unimplemented in the "
