@@ -452,3 +452,101 @@ def restore_serial_from_owners(packer, owners: Sequence) -> None:
         packer.clock[:] = clock
         packer.mail_ptr[:] = mail
         packer.cur_e_id = cur
+
+
+class DistributedOwnerExchange:
+    """Cross-PROCESS boundary-row resolution (SURVEY.md §7 phase 5's
+    all_to_all design): each process holds ONE NodeRangeOwnedState
+    shard; ``get_rows``/``get_mail`` for an arbitrary node set resolve
+    with two collective rounds over an injected ``allgather``
+    (multihost.multihost_allgather over DCN in a real jax.distributed
+    run; a local closure in tests):
+
+      round A — all hosts allgather their REQUEST node lists;
+      round B — every host answers every request with the rows it owns
+      (request positions + row payload), allgathered back; the
+      requester overlays the segments addressed to it.
+
+    Exposes the same get_rows/get_mail surface as a local owner, so
+    ``[exchange]`` drops into gather_rows / gather_mail /
+    pack_with_gathered_state unchanged.  All hosts must issue the same
+    SEQUENCE of gather calls (they do: one pack_with_gathered_state per
+    host per super-batch = 3 gathers in lockstep).  The i64 payload
+    encoding spends 8 B per element for simplicity; a production
+    deployment would bit-pack (the logical row payload is 16 B/entry,
+    BASELINE.md cost model)."""
+
+    def __init__(self, owner, host: int, n_hosts: int, allgather):
+        self.owner = owner
+        self.host = host
+        self.n_hosts = n_hosts
+        self.allgather = allgather
+        self.K = owner.K
+        self.S = owner.S
+        self.lo = 0             # presents as covering every node the
+        self.hi = owner.N       # shard group collectively owns
+
+    def _resolve(self, nodes, fields_fn, width: int):
+        """Shared 2-round protocol.  ``fields_fn(req_nodes)`` returns
+        (payload_matrix (n, width) int64, owned_mask) from the LOCAL
+        shard; returns the assembled (n, width) matrix + mask."""
+        nodes = np.asarray(nodes, np.int64)
+        reqs = self.allgather(nodes)
+        parts = []
+        for h, req in enumerate(reqs):
+            data, owned = fields_fn(np.asarray(req, np.int64))
+            pos = np.nonzero(owned)[0].astype(np.int64)
+            seg = np.concatenate(
+                [np.asarray([h, len(pos)], np.int64), pos,
+                 data[pos].reshape(-1)])
+            parts.append(seg)
+        resp = self.allgather(np.concatenate(parts)
+                              if parts else np.zeros(0, np.int64))
+        out = np.zeros((len(nodes), width), np.int64)
+        mask = np.zeros(len(nodes), bool)
+        for payload in resp:
+            payload = np.asarray(payload, np.int64)
+            i = 0
+            while i < len(payload):
+                dest, npos = int(payload[i]), int(payload[i + 1])
+                i += 2
+                pos = payload[i:i + npos]
+                i += npos
+                data = payload[i:i + npos * width].reshape(npos, width)
+                i += npos * width
+                if dest == self.host and npos:
+                    out[pos] = data
+                    mask[pos] = True
+        return out, mask
+
+    def get_rows(self, nodes):
+        K = self.K
+
+        def fields(req):
+            nbr, eid, t, clock, owned = self.owner.get_rows(req)
+            data = np.concatenate(
+                [nbr.astype(np.int64),
+                 eid,
+                 t.view(np.uint32).astype(np.int64),
+                 clock.view(np.uint32).astype(np.int64)[:, None]],
+                axis=1)
+            return data, owned
+
+        out, mask = self._resolve(nodes, fields, 3 * K + 1)
+        nbr = out[:, :K].astype(np.int32)
+        eid = np.where(mask[:, None], out[:, K:2 * K], -1)
+        t = out[:, 2 * K:3 * K].astype(np.uint32).view(np.float32) \
+            .reshape(len(nodes), K)
+        t = np.where(mask[:, None], t, -1.0).astype(np.float32)
+        clock = out[:, 3 * K].astype(np.uint32).view(np.float32) \
+            .reshape(len(nodes))
+        clock = np.where(mask, clock, 0.0).astype(np.float32)
+        return nbr, eid, t, clock, mask
+
+    def get_mail(self, nodes):
+        def fields(req):
+            ptr, owned = self.owner.get_mail(req)
+            return ptr[:, None], owned
+
+        out, mask = self._resolve(nodes, fields, 1)
+        return out[:, 0], mask
