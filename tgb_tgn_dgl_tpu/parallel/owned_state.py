@@ -28,6 +28,20 @@ O(owned touches) ≈ total/N_hosts (+ a cheap vectorized scan to filter),
 at the price of a pack-time boundary read of ~(roots × K) rows.  The
 cost model and the measured crossover vs the replicated exchange are in
 BASELINE.md ("multi-host host-work scaling").
+
+The module ships the full stack:
+
+  * NodeRangeOwnedState (numpy oracle) / NativeNodeRangeOwnedState
+    (csrc/owned_state.cpp, ~0.05 µs per stream event per host);
+  * pack_with_gathered_state — pack a batch against owner state via a
+    borrowed scratch packer filled from boundary gathers, bit-exact vs
+    a full-state serial pack (row-level state surgery in
+    csrc/packer.cpp);
+  * DistributedOwnerExchange — the same gathers across REAL processes
+    with two allgather collective rounds (tests/test_owned_distributed.py);
+  * MultiHostEngine(exchange='owned') drives an epoch end-to-end with
+    bit-identical training vs the replicated exchange
+    (tests/test_mh_engine.py).
 """
 from __future__ import annotations
 
