@@ -135,6 +135,37 @@ def main():
             "platform": platform, "virtual": bool(virtual),
         }))
 
+    # ---- multi-host driver sweep: composed super-batches with the real
+    # mailbox memory, replicated vs owned host-state maintenance.  The
+    # epoch seconds on shared virtual devices are not a scaling curve,
+    # but the HOST-side phase economics (the pack/apply/replay costs the
+    # owned design targets) are real wall-clock on this host either way
+    # (BASELINE.md "multi-host host-work scaling"). ----
+    from tgb_tgn_dgl_tpu.parallel.mh_engine import MultiHostEngine
+
+    for n_hosts in (2, 4):
+        for exchange in ("replicated", "owned"):
+            config = parse_config_dict({
+                "sampling": [{"neighbor": [10]}],
+                "memory": [{"dim_out": 64, "dim_time": 64}],
+                "gnn": [{"dim_out": 64, "att_head": 4, "dim_time": 64}],
+                "train": [{"batch_size": 512, "lr": 1e-3,
+                           "frozen_memory": False}],
+            })
+            eng = MultiHostEngine(edata, config, n_hosts=n_hosts,
+                                  exchange=exchange)
+            eng.train_epoch()                   # compile + warm
+            t0 = time.perf_counter()
+            stats = eng.train_epoch()
+            secs = time.perf_counter() - t0
+            print(json.dumps({
+                "multihost_epoch": True, "hosts": n_hosts,
+                "exchange": exchange, "epoch_s": round(secs, 3),
+                "events_per_s": round(stats["events"] / secs, 1),
+                "loss": round(float(stats["loss"]), 4),
+                "platform": platform, "virtual": bool(virtual),
+            }))
+
 
 if __name__ == "__main__":
     main()
