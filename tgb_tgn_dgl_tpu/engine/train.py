@@ -696,9 +696,10 @@ class Engine:
                        "intra_start", "root_blk")
 
         from ..models.tgnn import edge_predictor
+        kind, k_at = parse_eval_metric(self.data.eval_metric)
 
-        def step(params, memory_or_state, tables, wire, mask,
-                 iw, n_chunks, n_mc):
+        def step(params, memory_or_state, tables, wire, mask, valid,
+                 acc, iw, n_chunks, n_mc):
             feats, times = tables
             R2 = wire.root_loc.shape[0]
             Rc = R2 // n_chunks
@@ -764,18 +765,25 @@ class Engine:
             z = jnp.zeros(B, jnp.int32)
             (opt, pes), _ = jax.lax.scan(score_body, (z, z), (ns_x, m_x))
 
+            # per-batch-mean metric accumulate (the finalize phase,
+            # fused in: one dispatch per batch instead of two)
+            val = rank_metric_from_counts(opt, pes, kind, k_at)
+            val = jnp.where(valid, val, 0.0)
+            batch_mean = val.sum() / jnp.maximum(valid.sum(), 1)
+            acc = acc + jnp.stack([batch_mean, jnp.float32(1.0)])
+
             if use_mem:
                 mem_state = commit(mem_cfg, memory_or_state,
                                    pack0.uniq_nid, mem_rows, lu_rows,
                                    pack0.mw_node, pack0.mw_slot,
                                    pack0.mw_partner, pack0.mw_t,
                                    pack0.mw_eid)
-                return opt, pes, mem_state
-            return opt, pes
+                return acc, mem_state
+            return acc
 
         if self._jit:
-            return jax.jit(step, static_argnums=(5, 6, 7),
-                           donate_argnums=(1,) if use_mem else ())
+            return jax.jit(step, static_argnums=(7, 8, 9),
+                           donate_argnums=(1, 6) if use_mem else (6,))
         return step
 
     def _eval_unique_batches(self, split: str, fixed, B: int, nb_bucket):
@@ -865,17 +873,16 @@ class Engine:
         for (lo, hi, M, wire, iw, mask, n_chunks,
              n_mc) in self._eval_unique_batches(split, fixed, B,
                                                 nb_bucket):
-            self.dispatch_count += 2     # step + finalize
+            self.dispatch_count += 1     # ONE fused step per batch
+            valid = np.arange(B) < (hi - lo)
             if self.use_memory:
-                opt, pes, self.mem_state = self._unique_eval_step(
+                acc, self.mem_state = self._unique_eval_step(
                     self.params, self.mem_state, self._tables, wire,
-                    mask, iw, n_chunks, n_mc)
+                    mask, valid, acc, iw, n_chunks, n_mc)
             else:
-                opt, pes = self._unique_eval_step(
+                acc = self._unique_eval_step(
                     self.params, self.memory, self._tables, wire, mask,
-                    iw, n_chunks, n_mc)
-            valid = jnp.asarray(np.arange(B) < (hi - lo))
-            acc = self._eval_finalize(acc, opt, pes, valid)
+                    valid, acc, iw, n_chunks, n_mc)
         try:
             acc.copy_to_host_async()
         except Exception:
