@@ -219,6 +219,9 @@ def main():
         "hbm_gbps": round(mfu["hbm_gbps"], 1),
         "eval_eps": round(eval_eps, 1) if eval_eps is not None else None,
         "eval_s": round(eval_s, 3) if eval_s is not None else None,
+        "eval_protocol": ("slot_unique" if engine._eval_unique_active(
+            "val", data.val_ns, engine.config.train.batch_size)[0]
+            else "column_chunk"),
         "memory_eps": (round(memory_eps, 1)
                        if memory_eps is not None else None),
         "memory_mfu": (round(mem_mfu["mfu"], 4)
