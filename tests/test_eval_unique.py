@@ -101,6 +101,78 @@ def test_unique_eval_small_chunks_exercise_scan(ev_data):
     np.testing.assert_allclose(got, want, rtol=0, atol=0)
 
 
+def _hub_data(M=5, seed=3):
+    """Stream whose val split has >255 dependency blocks in ONE batch:
+    a hub node is an endpoint of ~350 of the 600 val events, so the
+    leveler (data/dependency.py) chains them into ~350 sequential
+    blocks — the case the u8 block-id field used to bail on
+    (VERDICT r4 weak-5)."""
+    from tgb_tgn_dgl_tpu.data.dataset import (TemporalData,
+                                              chronological_masks)
+    rng = np.random.default_rng(seed)
+    E, N = 1800, 80
+    src = rng.integers(1, N // 2, size=E).astype(np.int32)
+    dst = rng.integers(N // 2, N, size=E).astype(np.int32)
+    # hub: node 0 is src of 350 of the middle (val) 600 events
+    hub_rows = 600 + rng.choice(600, size=350, replace=False)
+    src[hub_rows] = 0
+    t = np.cumsum(rng.exponential(1.0, size=E)).astype(np.float32)
+    msg = rng.normal(0, 1, size=(E, 4)).astype(np.float32)
+    tr, va, te = chronological_masks(E, val_ratio=1 / 3, test_ratio=1 / 3)
+    uni = np.unique(dst)
+
+    def ns_for(mask):
+        pos = dst[mask]
+        ns = rng.choice(uni, size=(int(mask.sum()), M)).astype(np.int32)
+        for _ in range(4):
+            bad = ns == pos[:, None]
+            ns[bad] = rng.choice(uni, size=int(bad.sum()))
+        return ns
+
+    return TemporalData(name="hub-blocks", src=src, dst=dst, t=t,
+                        msg=msg, train_mask=tr, val_mask=va,
+                        test_mask=te, val_ns=ns_for(va),
+                        test_ns=ns_for(te))
+
+
+def test_unique_eval_over_255_blocks():
+    """>255 dependency blocks must take the slot-unique path (u16 block
+    ids) and agree exactly with the chunked protocol."""
+    data = _hub_data()
+    cfg_u = _conf(True, unique=True)
+    cfg_c = _conf(True, unique=False)
+    for c in (cfg_u, cfg_c):
+        c.train.batch_size = 600
+    b = Engine(data, cfg_u)
+    blocks = b.blocks_for("val")
+    assert int(blocks.max()) + 1 > 255, "fixture must exceed 255 blocks"
+    active, nb_bucket = b._eval_unique_active("val", data.val_ns, 600)
+    assert active and nb_bucket > 256         # the u16 regime
+    a = Engine(data, cfg_c)
+    for eng in (a, b):
+        eng.train_epoch()
+    np.testing.assert_allclose(a.evaluate("val"), b.evaluate("val"),
+                               rtol=0, atol=0)
+
+
+def test_gate_log_names_reason(capsys):
+    """A closed gate logs WHICH gate closed (once), instead of silently
+    falling back 4-10x slower (VERDICT r4 weak-5)."""
+    data = synthetic("gate-log", num_edges=1200, num_nodes=100,
+                     msg_dim=4, num_neg=5, seed=7)
+    cfg = _conf(True, unique=True)
+    cfg.train.max_intra_block = None         # the ADVICE r4 medium hole
+    e = Engine(data, cfg)
+    active, _ = e._eval_unique_active("val", data.val_ns, 150)
+    assert not active
+    out = capsys.readouterr().out
+    assert "slot-unique protocol off" in out
+    assert "max_intra_block" in out
+    # once per (run, reason)
+    e._eval_unique_active("val", data.val_ns, 150)
+    assert "slot-unique" not in capsys.readouterr().out
+
+
 def test_auto_gate_scales():
     """The 'auto' gate: slot-unique on small-N (real per-block dedup),
     column chunks on large-N (candidates ~unique per block), and loud

@@ -1529,10 +1529,21 @@ int32_t packer_dedup_submit(
 
 // Blocks until the submitted job completes.  dims = {fallback, P, R,
 // Ub, Ur, Ei}.  A fallback result is self-consuming (nothing to read).
+// Called with no job outstanding (no submit, or the result already
+// consumed), reports fallback instead of dereferencing null /
+// blocking forever (ADVICE r4) — the caller then packs synchronously.
 void packer_dedup_wait(void* h, int64_t* dims) {
   auto* p = static_cast<Packer*>(h);
+  if (!p->async) {
+    dims[0] = 1;
+    return;
+  }
   AsyncState& a = *p->async;
   std::unique_lock<std::mutex> lk(a.mu);
+  if (!a.busy && !a.ready) {
+    dims[0] = 1;
+    return;
+  }
   a.cv.wait(lk, [&] { return a.ready; });
   dims[0] = a.fallback;
   dims[1] = a.P;
@@ -1567,6 +1578,7 @@ void packer_dedup_read(
     int32_t* ne_ent, void* intra_lo, uint8_t* intra_cnt,
     void* intra_start, void* mw_slot) {
   auto* p = static_cast<Packer*>(h);
+  if (!p->async) return;  // no job ever submitted (ADVICE r4)
   AsyncState& a = *p->async;
   DedupStaging& o = a.out;
   const bool bn = u16_mask & 1, bs = u16_mask & 2;

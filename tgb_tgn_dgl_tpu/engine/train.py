@@ -650,24 +650,64 @@ class Engine:
     # protocol).  Requires lean dedup wires + gnn.layer == 1 (the same
     # restriction as DedupWire) and lazy (non-DyRep) memory.
 
+    def _log_eval_gate(self, reason: str) -> None:
+        """The chunked fallback is a silent 4-10x eval slowdown; say
+        WHICH gate closed, once per (run, reason) — VERDICT r4 weak-5."""
+        seen = getattr(self, "_eval_gate_logged", None)
+        if seen is None:
+            seen = self._eval_gate_logged = set()
+        if reason not in seen:
+            seen.add(reason)
+            print(f"[eval] slot-unique protocol off ({reason}); "
+                  f"using the column-chunk protocol", flush=True)
+
     def _eval_unique_supported(self) -> bool:
-        return (self.config.train.eval_slot_unique in (True, "auto")
-                and self._wire_dedup
-                and not self.device_cache and not self._rslot
-                and not (self.use_memory and self.eager_memory)
-                and hasattr(self.packer, "pack_wire_dedup"))
+        tr = self.config.train
+        if tr.eval_slot_unique not in (True, "auto"):
+            return False
+        for ok, reason in (
+                (self._wire_dedup, "wire_dedup off or strategy!=recent"),
+                (not self.device_cache, "device_cache mode"),
+                (not self._rslot, "gnn.layer>1"),
+                (not (self.use_memory and self.eager_memory),
+                 "DyRep eager memory"),
+                (hasattr(self.packer, "pack_wire_dedup"),
+                 "packer lacks dedup wires"),
+                # max_intra_block=None (exact reference mode) can make a
+                # hub-heavy eval batch unrepresentable (P>255) mid-pass;
+                # the chunked protocol has a per-batch fallback, this one
+                # cannot restart a half-streamed split (ADVICE r4 medium)
+                (tr.max_intra_block is not None
+                 and tr.max_intra_block <= 255,
+                 "max_intra_block=None or >255"),
+                # the device clock grid uses a -1 "no event" sentinel
+                (self._times_nonneg(), "negative event timestamps")):
+            if not ok:
+                self._log_eval_gate(reason)
+                return False
+        return True
+
+    def _times_nonneg(self) -> bool:
+        cached = getattr(self, "_times_nonneg_cache", None)
+        if cached is None:
+            cached = self._times_nonneg_cache = bool(
+                len(self.data.t) == 0 or np.asarray(self.data.t).min() >= 0)
+        return cached
 
     def _eval_unique_active(self, split: str, ns, B: int):
         """(use_slot_unique, nb_bucket) for a split: structural support
-        + the block count fits the lean wire's u8 field + (in 'auto')
-        the estimated per-block candidate dedup is ≥1.5× — on large-N
-        datasets (draws/block ≪ N) nearly every candidate is unique and
-        the single full-M pack buys nothing over column chunks."""
+        + the block count fits the lean wire's u8/u16 id field + (in
+        'auto') the estimated per-block candidate dedup is ≥1.5× — on
+        large-N datasets (draws/block ≪ N) nearly every candidate is
+        unique and the single full-M pack buys nothing over chunks."""
+        if ns is None:      # no fixed negatives: nothing to evaluate
+            return False, 0
         if not self._eval_unique_supported():
             return False, 0
         blocks = self.blocks_for(split)
         nb_max = int(blocks.max()) + 1 if len(blocks) else 1
-        if nb_max > 255:
+        if nb_max > 65536:
+            self._log_eval_gate(">65536 dependency blocks in a batch")
             return False, 0
         if self.config.train.eval_slot_unique == "auto":
             ns_arr = np.asarray(ns)
@@ -678,6 +718,9 @@ class Engine:
             dedup_win = draws_per_block / max(
                 N * (1.0 - np.exp(-draws_per_block / N)), 1.0)
             if dedup_win < 1.5:
+                self._log_eval_gate(
+                    f"auto: per-block candidate dedup {dedup_win:.2f}x "
+                    f"< 1.5x at N={N}")
                 return False, 0
         nb_bucket = 16
         while nb_bucket < nb_max:
@@ -793,10 +836,22 @@ class Engine:
         d = self.data
 
         def prep(out, blk, braw, M, qmask):
+            if out is None:
+                # _eval_unique_supported guarantees representability
+                # (max_intra_block ≤ 255, layer==1); reaching here means
+                # a gate is out of sync with the packer — fail loudly
+                # instead of corrupting the pass (ADVICE r4 medium)
+                raise RuntimeError(
+                    "slot-unique eval: dedup pack unrepresentable "
+                    "mid-split; set train.eval_slot_unique=False or "
+                    "train.max_intra_block<=255")
             wire, iw = out
             wire = eval_lean_dedup(wire, blk, nb_bucket)
-            assert wire.cache_dt is None, (
-                "slot-unique eval requires the lean wire")
+            if wire.cache_dt is not None:
+                raise RuntimeError(
+                    "slot-unique eval requires the lean wire (block "
+                    "count or negative timestamps rejected it); set "
+                    "train.eval_slot_unique=False")
             R = wire.root_loc.shape[0]
             n_chunks = max(1, -(-R // 49152))
             Rc = -(-R // n_chunks)
@@ -856,7 +911,6 @@ class Engine:
             if ready is not None:
                 yield ready
             out = self._pack_dedup(*args, True)
-            assert out is not None, "slot-unique eval needs dedup packs"
             yield (lo, hi, M) + prep(out, blk, hi - lo, M, qmask)
         if pend is not None:
             out = self.packer.pack_wire_dedup_fetch()
