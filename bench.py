@@ -217,6 +217,28 @@ def main():
         if measure_eval:
             mem_eval_eps, mem_eval_s = _measure_eval(mem_engine)
 
+    # multi-host host-work economics (VERDICT r4 item 5): per-host
+    # host-side ms per super-batch for both exchange modes, measured on
+    # the REAL engine host path (pack + exchange + replan + compose;
+    # host_only mode dispatches nothing, so no composed-step compile).
+    # These are genuine wall-clock on this host regardless of the
+    # device backend — the numbers behind BASELINE.md's
+    # owned-vs-replicated crossover, now recorded per round.
+    mh_host_ms = None
+    if os.environ.get("BENCH_SKIP_MULTIHOST", "0") != "1":
+        from tgb_tgn_dgl_tpu.parallel.mh_engine import MultiHostEngine
+        mh_host_ms = {}
+        for n_hosts in (2, 4, 8):
+            for exchange in ("replicated", "owned"):
+                eng = MultiHostEngine(data, make_config(frozen=False),
+                                      n_hosts=n_hosts, exchange=exchange)
+                eng.train_epoch(host_only=True, max_super_batches=2)
+                eng.train_epoch(host_only=True, max_super_batches=8)
+                tr = eng.last_epoch_trace
+                per_sb = tr["host_s"] / max(tr["super_batches"], 1)
+                mh_host_ms[f"{exchange}_n{n_hosts}"] = round(
+                    per_sb * 1e3, 2)
+
     baseline_eps = None
     try:
         with open(os.path.join(os.path.dirname(__file__),
@@ -257,6 +279,7 @@ def main():
                             if mem_eval_eps is not None else None),
         "memory_eval_s": (round(mem_eval_s, 3)
                           if mem_eval_s is not None else None),
+        "multihost_host_ms": mh_host_ms,
     }
     print(json.dumps(out))
 

@@ -91,6 +91,35 @@ def test_ragged_tail_goes_single_host(mh_data):
     assert stats["events"] >= n_train
 
 
+@pytest.mark.parametrize("exchange", ["replicated", "owned"])
+def test_epoch_trace_has_real_phase_times(mh_data, exchange):
+    """The trace must answer 'is host work the binding wall at n hosts'
+    with measured numbers, not hardcoded zeros (VERDICT r4 weak-3)."""
+    mh = MultiHostEngine(mh_data, _conf(frozen=False), n_hosts=2,
+                         exchange=exchange)
+    mh.train_epoch()
+    tr = mh.last_epoch_trace
+    for key in ("pack_s", "disp_s", "exchange_s", "replan_s", "host_s"):
+        assert tr[key] > 0.0, f"{key} not measured ({exchange})"
+    assert tr["super_batches"] > 0
+    assert tr["total_s"] >= tr["pack_s"] + tr["exchange_s"]
+
+
+def test_host_only_epoch_measures_without_dispatch(mh_data):
+    """host_only mode (bench.py's multihost_host_ms probe) runs the
+    real host path, counts super-batches, and issues zero device
+    dispatches."""
+    mh = MultiHostEngine(mh_data, _conf(frozen=False), n_hosts=2)
+    d0 = mh.dispatch_count
+    mh.train_epoch(host_only=True, max_super_batches=3)
+    tr = mh.last_epoch_trace
+    assert mh.dispatch_count == d0
+    assert tr["super_batches"] == 3
+    assert tr["disp_s"] == 0.0
+    assert tr["pack_s"] > 0 and tr["exchange_s"] > 0 \
+        and tr["replan_s"] > 0 and tr["host_s"] > 0
+
+
 @pytest.mark.parametrize("frozen", [True, False])
 def test_owned_exchange_matches_replicated(mh_data, frozen):
     """exchange='owned' (node-range-owned state + boundary-gathered
