@@ -13,11 +13,12 @@ from tgb_tgn_dgl_tpu.parallel.mh_engine import MultiHostEngine
 from tgb_tgn_dgl_tpu.utils.config import parse_config_dict
 
 
-def _conf(frozen, B=128):
+def _conf(frozen, B=128, arch="transformer_attention"):
     return parse_config_dict({
         "sampling": [{"neighbor": [5]}],
         "memory": [{"dim_out": 16, "dim_time": 16, "mailbox_size": 2}],
-        "gnn": [{"dim_out": 16, "att_head": 2, "dim_time": 16}],
+        "gnn": [{"arch": arch, "dim_out": 16, "att_head": 2,
+                 "dim_time": 16}],
         "train": [{"batch_size": B, "lr": 1e-3, "dropout": 0.0,
                    "att_dropout": 0.0, "frozen_memory": frozen,
                    "seed": 3}],
@@ -89,6 +90,45 @@ def test_ragged_tail_goes_single_host(mh_data):
     stats = mh.train_epoch()
     n_train = int(np.sum(mh_data.train_mask))
     assert stats["events"] >= n_train
+
+
+def test_dyrep_driver_trains_and_evals(mh_data):
+    """DyRep x multi-host end-to-end (VERDICT r4 item 3): the eager-mail
+    chained composed step drives training (loss decreases, memory
+    moves), the exchange keeps packer state serial, and the inherited
+    streaming eval runs on it."""
+    mh = MultiHostEngine(mh_data, _conf(frozen=False, arch="dyrep"),
+                         n_hosts=2)
+    assert mh.eager_memory
+    s1 = mh.train_epoch()
+    assert np.isfinite(s1["loss"])
+    assert np.abs(np.asarray(mh.mem_state.mem)).sum() > 0, \
+        "eager memory never updated through the chain"
+    s2 = mh.train_epoch()
+    assert s2["loss"] < s1["loss"]
+    # exchange invariant holds for the DyRep path too
+    single = Engine(mh_data, _conf(frozen=False, arch="dyrep"))
+    single.train_epoch()
+    single.train_epoch()
+    np.testing.assert_array_equal(mh.packer.cache_eid,
+                                  single.packer.cache_eid)
+    np.testing.assert_array_equal(mh.packer.clock, single.packer.clock)
+    v = mh.evaluate("val")
+    assert 0.0 < v <= 1.0
+
+
+def test_dyrep_owned_exchange_matches_replicated(mh_data):
+    rep = MultiHostEngine(mh_data, _conf(frozen=False, arch="dyrep"),
+                          n_hosts=2, exchange="replicated")
+    own = MultiHostEngine(mh_data, _conf(frozen=False, arch="dyrep"),
+                          n_hosts=2, exchange="owned")
+    s_rep, s_own = rep.train_epoch(), own.train_epoch()
+    np.testing.assert_allclose(s_rep["loss"], s_own["loss"], rtol=0,
+                               atol=0)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        rep.params, own.params)
 
 
 @pytest.mark.parametrize("exchange", ["replicated", "owned"])

@@ -497,6 +497,124 @@ def test_composed_memory_step_matches_serial_chain(mailbox):
         np.testing.assert_array_equal(ptr_end, hosts[1].mail_ptr)
 
 
+@pytest.mark.parametrize("src_emb,dst_emb", [(False, False), (True, True)])
+def test_composed_dyrep_step_matches_serial_chain(src_emb, dst_emb):
+    """DyRep x multi-host (VERDICT r4 item 3): the chained composed step
+    (build_composed_dyrep_step) must match a SERIAL eager-memory chain
+    (per-range eager_apply_mail -> embed -> dyrep_messages ->
+    eager_commit with the exact engine primitives) over 3 super-batches
+    x 2 hosts — eager mail embeds event partners, so the oracle chains
+    the FULL pipeline per range; lr=0 isolates state/forward equality
+    from the optimizer step-count difference.  Covered for both the
+    memory-field and embedding-field message toggles."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tgb_tgn_dgl_tpu.models.factory import arch_embed, arch_predict
+    from tgb_tgn_dgl_tpu.models.tgnn import TGNNConfig, bce_loss, init_tgnn
+    from tgb_tgn_dgl_tpu.models.variants import (EagerMemoryConfig,
+                                                 dyrep_messages,
+                                                 eager_apply_mail,
+                                                 eager_commit,
+                                                 init_eager_memory_params,
+                                                 init_eager_memory_state)
+    from tgb_tgn_dgl_tpu.ops.wire import expand_wire, stack_wires
+    from tgb_tgn_dgl_tpu.parallel.multihost import (
+        align_wires, apply_mail_plan, build_composed_dyrep_step,
+        replan_mail_slots)
+
+    data = synthetic("mh-dyrep", num_edges=800, num_nodes=120, msg_dim=6,
+                     num_neg=2, seed=33)
+    B, K, IW, n_hosts, S = 64, 5, 8, 2, 1
+    D = 16
+    N = data.num_nodes
+    cfg = PackerConfig(num_neighbors=K, batch_size=B, max_intra_block=IW,
+                       root_bucket_lo=512, mailbox_size=S)
+    hosts = [StreamPacker(N, cfg) for _ in range(n_hosts)]
+    neg_sampler = NegLinkSamplerDest(data.unique_dst(), seed=5)
+
+    model_cfg = TGNNConfig(edge_feat_dim=data.msg_dim, hidden_dim=D,
+                           num_heads=2, feat_drop=0.0, attn_drop=0.0)
+    mem_cfg = EagerMemoryConfig(num_nodes=N,
+                                mail_dim=2 * D + data.msg_dim + D,
+                                memory_dim=D, use_src_emb=src_emb,
+                                use_dst_emb=dst_emb)
+    params = init_tgnn(jax.random.PRNGKey(0), model_cfg)
+    params["memory"] = init_eager_memory_params(jax.random.PRNGKey(1),
+                                                mem_cfg)
+    optimizer = optax.adam(0.0)         # isolate state/forward equality
+    opt_state = optimizer.init(params)
+    feats = jnp.asarray(data.msg)
+
+    step = build_composed_dyrep_step(model_cfg, mem_cfg, optimizer,
+                                     K, IW, N, n_hosts)
+    mem_composed = init_eager_memory_state(mem_cfg, S)
+    mem_serial = init_eager_memory_state(mem_cfg, S)
+
+    rows_all = np.nonzero(data.train_mask)[0]
+    sb = n_hosts * B
+    for s in range(3):
+        lo = s * sb
+        ptr0 = np.asarray(hosts[0].mail_ptr).copy()
+        batches, wires = [], []
+        for h in range(n_hosts):
+            rows = rows_all[lo + h * B: lo + (h + 1) * B]
+            src, dst, t = data.src[rows], data.dst[rows], data.t[rows]
+            neg = neg_sampler.sample(dst)
+            batches.append((src, dst, t, rows, neg))
+            w, _ = hosts[h].pack_wire(src, dst, t, rows,
+                                      get_block(src, dst), neg)
+            wires.append(w)
+        plans, _ = replan_mail_slots([b[0] for b in batches],
+                                     [b[1] for b in batches], ptr0, S, B)
+        ws = align_wires([apply_mail_plan(w, pl, N)
+                          for w, pl in zip(wires, plans)])
+        # --- serial oracle: the FULL eager pipeline per range ----------
+        serial_losses = []
+        for h in range(n_hosts):
+            wsj = jax.tree.map(
+                lambda a: None if a is None else jnp.asarray(a), ws[h],
+                is_leaf=lambda x: x is None)
+            pk = expand_wire(wsj, K, IW, N)
+            r_rows, l_rows = eager_apply_mail(params["memory"], mem_cfg,
+                                              mem_serial, pk.uniq_nid)
+            embed = arch_embed(params, "dyrep", model_cfg, r_rows,
+                               l_rows, feats, pk, train=False,
+                               local=True)
+            pos, neg_l = arch_predict(params, embed, pk)
+            serial_losses.append(float(bce_loss(pos, neg_l,
+                                                pk.ev_valid)))
+            mw_mail = dyrep_messages(mem_cfg, embed, pk, feats,
+                                     params["time"], r_rows, l_rows)
+            mem_serial = eager_commit(mem_cfg, mem_serial, pk.uniq_nid,
+                                      r_rows, l_rows, pk.mw_node,
+                                      pk.mw_slot, mw_mail, pk.mw_t,
+                                      pk.mw_eid)
+        gw = stack_wires(ws)
+        params, opt_state, mem_composed, loss, _p, _n = step(
+            params, opt_state, mem_composed, feats, gw,
+            jax.random.PRNGKey(9))
+        np.testing.assert_allclose(float(loss), np.mean(serial_losses),
+                                   rtol=2e-5)
+        for f, a, b in zip(mem_composed._fields, mem_composed,
+                           mem_serial):
+            a, b = np.asarray(a), np.asarray(b)
+            if a.dtype.kind == "f":
+                np.testing.assert_allclose(
+                    a, b, rtol=1e-5, atol=1e-6,
+                    err_msg=f"sb {s} mem field {f}")
+            else:
+                np.testing.assert_array_equal(
+                    a, b, err_msg=f"sb {s} mem field {f}")
+        # advance both hosts to serial state for the next super-batch
+        payloads = [_encode(*b) for b in batches]
+        for h in range(n_hosts):
+            SuperBatchExchanger(hosts[h], h, n_hosts,
+                                allgather=lambda _p: payloads
+                                ).exchange(*batches[h])
+
+
 def test_composed_memory_step_on_mesh():
     """The composed memory step (sequential state chain + parallel
     forward) compiles and matches its single-device result when jitted

@@ -129,11 +129,16 @@ class MultiHostEngine(Engine):
         K = config.sampling.num_neighbors
         IW = config.train.max_intra_block
         N = data.num_nodes
-        if self.use_memory:
-            assert not self.eager_memory, (
-                "DyRep's eager mail embeds event partners — its state "
-                "chain is not forward-independent, so the composed "
-                "multi-host step covers the TGN/JODIE mailbox memory")
+        if self.use_memory and self.eager_memory:
+            # DyRep: eager mail embeds event partners, so the per-range
+            # pipeline (apply → embed → messages → commit) chains
+            # sequentially inside one program over STACKED (not
+            # offset-composed) per-range wires (build_composed_dyrep_step)
+            from .multihost import build_composed_dyrep_step
+            self._composed_step = build_composed_dyrep_step(
+                self.model_cfg, self.mem_cfg, self.optimizer, K, IW, N,
+                n_hosts, jit=self._jit)
+        elif self.use_memory:
             self._composed_step = build_composed_memory_step(
                 self.model_cfg, self.mem_cfg, self.optimizer, K, IW, N,
                 n_hosts, jit=self._jit)
@@ -197,7 +202,12 @@ class MultiHostEngine(Engine):
                 ow.reset_cache()
                 ow.load_from_serial(self.packer)
         if self.use_memory:
-            self.mem_state = init_memory_state(self.mem_cfg)
+            if self.eager_memory:
+                from ..models.variants import init_eager_memory_state
+                self.mem_state = init_eager_memory_state(
+                    self.mem_cfg, self.config.memory.mailbox_size)
+            else:
+                self.mem_state = init_memory_state(self.mem_cfg)
         rows_all = self._rows["train"]
         blocks_all = self.blocks_for("train")
         B = self.config.train.batch_size
@@ -296,12 +306,23 @@ class MultiHostEngine(Engine):
                     ptr0, self.config.memory.mailbox_size, B)
                 tm["replan"] += _time.perf_counter() - t0
                 t0 = _time.perf_counter()
-                gw = concat_offset_wires(wires, mail_plans=plans,
-                                         num_nodes=d.num_nodes)
+                if self.eager_memory:
+                    # DyRep: STACK the serially re-planned per-range
+                    # wires (leading n) — the chained composed step
+                    # expands each range standalone, no offset compose
+                    from ..ops.wire import stack_wires
+                    from .multihost import align_wires, apply_mail_plan
+                    ws = [apply_mail_plan(w, pl, d.num_nodes)
+                          for w, pl in zip(wires, plans)]
+                    gw = stack_wires(align_wires(ws))
+                else:
+                    gw = concat_offset_wires(wires, mail_plans=plans,
+                                             num_nodes=d.num_nodes)
             else:
                 t0 = _time.perf_counter()
                 gw = concat_offset_wires(wires)
-            gw = self._place_composed(gw)
+            if not (self.use_memory and self.eager_memory):
+                gw = self._place_composed(gw)
             tm["stack"] += _time.perf_counter() - t0
             if host_only:
                 total += sb

@@ -497,6 +497,97 @@ def build_composed_memory_step(model_cfg, mem_cfg, optimizer, K: int,
     return step
 
 
+def build_composed_dyrep_step(model_cfg, mem_cfg, optimizer, K: int,
+                              IW: int, N: int, n_ranges: int,
+                              jit: bool = True):
+    """Composed super-batch step for DyRep's EAGER memory (VERDICT r4
+    item 3 — the last excluded arch x multi-host combination).
+
+    Why the TGN composed step (build_composed_memory_step) cannot cover
+    DyRep: its design splits the cheap per-range state chain from ONE
+    parallel forward over all ranges, which is only possible because
+    mailbox messages are forward-independent.  DyRep's mail embeds the
+    event partner's EMBEDDING (models/variants.dyrep_messages; reference
+    modules/memory_module.py:266-267,387-408), so range h's commit needs
+    range h's forward, and range h+1's apply reads that mail — the whole
+    per-range pipeline (apply → embed → messages → commit) must chain
+    in serial stream order.  This step therefore runs the n ranges as a
+    sequential python-unrolled chain inside ONE jitted program over the
+    STACKED per-range wires (leading axis n — no offset/concat
+    composition; each range expands standalone), with:
+
+      * gradients averaged over the super-batch (the same data-parallel
+        large-step semantics as the TGN composed step — one optimizer
+        step per super-batch instead of n);
+      * a stop_gradient between chain links (the serial engine commits
+        outside the per-batch grad — one-step truncated BPTT);
+      * per-range dropout keys derived as ``derive_key(rng, 64*h)``,
+        the fused-dispatch key convention (engine/train.py).
+
+    Mail slots must be serially re-planned per range BEFORE stacking
+    (replan_mail_slots + apply_mail_plan — each host packed against the
+    super-batch-start ring pointers).  Bit-exactness vs a serial eager
+    chain over the same wires:
+    tests/test_multihost.py::test_composed_dyrep_step_matches_serial_chain.
+
+    Returns step(params, opt_state, mem_state, feats, wires, rng) ->
+    (params, opt_state, mem_state, loss, pos, neg)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..models.factory import arch_embed, arch_predict
+    from ..models.init import derive_key
+    from ..models.tgnn import bce_loss
+    from ..models.variants import (dyrep_messages, eager_apply_mail,
+                                   eager_commit)
+    from ..ops.wire import expand_wire
+
+    n = n_ranges
+
+    def step(params, opt_state, mem_state, feats, wires, rng):
+        def loss_fn(p):
+            st = mem_state
+            loss_sum = 0.0
+            pos_all, neg_all = [], []
+            for h in range(n):
+                wire = jax.tree.map(lambda a: a[h], wires)
+                pack = expand_wire(wire, K, IW, N)
+                mem_rows, lu_rows = eager_apply_mail(
+                    p["memory"], mem_cfg, st, pack.uniq_nid)
+                embed = arch_embed(p, "dyrep", model_cfg, mem_rows,
+                                   lu_rows, feats, pack, train=True,
+                                   rng=derive_key(rng, 64 * h),
+                                   local=True)
+                pos, neg = arch_predict(p, embed, pack)
+                loss_sum = loss_sum + bce_loss(pos, neg, pack.ev_valid)
+                mw_mail = dyrep_messages(mem_cfg, embed, pack, feats,
+                                         p["time"], mem_rows, lu_rows)
+                st_next = eager_commit(mem_cfg, st, pack.uniq_nid,
+                                       mem_rows, lu_rows, pack.mw_node,
+                                       pack.mw_slot, mw_mail, pack.mw_t,
+                                       pack.mw_eid)
+                # one-step truncated BPTT per range (the serial engine
+                # commits outside the per-batch grad)
+                st = jax.tree.map(jax.lax.stop_gradient, st_next)
+                pos_all.append(pos)
+                neg_all.append(neg)
+            loss = loss_sum / n
+            return loss, (st, jnp.concatenate(pos_all),
+                          jnp.concatenate(neg_all))
+
+        (loss, (mem_state, pos, neg)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, mem_state, loss, pos, neg
+
+    if jit:
+        import jax
+        return jax.jit(step, donate_argnums=(1, 2))
+    return step
+
+
 def make_process_global_wire(mesh, wire, stacked: bool = False):
     """Assemble a GLOBAL dp-sharded wire from per-process local shards:
     each host passes the wire for ITS edge range; the result is the
