@@ -485,7 +485,14 @@ class Engine:
         if self.device_cache:
             return self._build_lean_fused_train_step()
         body = self._train_step_raw
+        # fuse_unroll auto (None): unroll exactly when the step carries
+        # memory state — the scan double-buffers the mailbox scatter
+        # chain (BASELINE.md round-5 census: 559 kernels/batch scanned
+        # vs 274 frozen; unroll measured +8.5% on the memory arm,
+        # parity on frozen)
         unroll = self.config.train.fuse_unroll
+        if unroll is None:
+            unroll = self.use_memory
 
         # ``wires`` is either a stacked wire NamedTuple (leading G) or a
         # BlobWire (train.wire_blob); ``statics`` is intra_width alone or

@@ -165,13 +165,19 @@ class TrainConfig:
     # Emit the fused group as STRAIGHT-LINE code (Python loop over the
     # stacked wire) instead of a lax.scan.  The lean/device-cache body
     # NEEDS this (in a while loop its cos/gather chains refuse to fuse —
-    # _build_lean_fused_train_step); for the host-pack body an A/B on the
-    # tunneled v5e measured NO speedup (the grid arrives prebuilt, so
-    # there is nothing left to fuse across iterations), a ~6× longer
-    # compile, and unrolling lets XLA reassociate float reductions
-    # across batches, so the fused epoch is no longer bitwise equal to
-    # the per-batch epoch (test_fused_steps_exact).  Default off.
-    fuse_unroll: bool = False
+    # _build_lean_fused_train_step).  Measured on the tunneled v5e
+    # (tools/ab_unroll.py, interleaved pairs): the FROZEN host-pack body
+    # is parity (0.996 — the grid arrives prebuilt, nothing left to fuse
+    # across iterations and the tunnel pipeline is the wall), but the
+    # MEMORY body wins +8.5% — its scan carries the mailbox state whose
+    # scatter/copy chain double-buffers 277 MB/batch inside the while
+    # loop (BASELINE.md round-5 census: 559 kernels/batch scanned vs
+    # 274 frozen).  Default None = AUTO: unroll exactly when the step
+    # carries memory state.  Cost of unrolling: ~6× longer compile per
+    # signature, and XLA may reassociate float reductions across batches
+    # (the fused epoch is equal to the per-batch epoch to ~1e-5, not
+    # bitwise — test_fused_steps_exact pins the scan path for that).
+    fuse_unroll: Optional[bool] = None
     # Device-cache mode (ops/lean_wire.py): keep the recency neighbor
     # cache + per-node clocks ON DEVICE and ship a lean event-only wire
     # (~0.7 MB/batch vs ~1.8 MB, and a faster host packer).  Bit-exact
@@ -235,6 +241,10 @@ class FrameworkConfig:
                 f"train.eval_slot_unique must be True, False or 'auto' "
                 f"(got {t.eval_slot_unique!r}) — a quoted YAML 'true' "
                 f"would otherwise silently disable the slot-unique eval")
+        if t.fuse_unroll not in (True, False, None):
+            raise ValueError(
+                f"train.fuse_unroll must be true, false or unset/auto "
+                f"(got {t.fuse_unroll!r})")
         if s.prop_time:
             raise NotImplementedError(
                 "sampling.prop_time is schema-only (unimplemented in the "

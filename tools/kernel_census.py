@@ -75,6 +75,9 @@ def main():
     ap.add_argument("--memory", action="store_true",
                     help="memory-enabled step (frozen_memory=False)")
     ap.add_argument("--fuse", type=int, default=8)
+    ap.add_argument("--unroll", choices=["auto", "true", "false"],
+                    default="auto",
+                    help="fuse_unroll knob (auto = engine default)")
     ap.add_argument("--dump", help="write full HLO to this path")
     args = ap.parse_args()
 
@@ -88,6 +91,8 @@ def main():
         "train": [{"batch_size": 2000, "lr": 1e-4, "dropout": 0.2,
                    "compute_dtype": "bfloat16",
                    "fuse_steps": args.fuse,
+                   "fuse_unroll": {"auto": None, "true": True,
+                                   "false": False}[args.unroll],
                    "frozen_memory": not args.memory}],
     })
     data = synthetic("tgbl-wiki")
@@ -136,16 +141,24 @@ def main():
     comps = census(txt)
 
     # the scan = the while op's body computation; find it from the while
-    # instruction's body= attribute, then count its launches
+    # instruction's body= attribute, then count its launches.  An
+    # UNROLLED fused step has no while loop — everything lives in main,
+    # and per-batch = main / G.
     body_names = set(re.findall(r"body=%?([\w\.\-]+)", txt))
     per_batch = 0
     for name in body_names:
         if name in comps:
             per_batch += report(f"{name} (per scanned batch)", comps[name])
+    main_total = 0
     for name, lines in comps.items():
         if name.startswith("main"):
-            report(f"{name} (once per dispatch)", lines)
-    print(f"\nTOTAL per-batch (scan body) kernel launches: {per_batch}")
+            main_total += report(f"{name} (once per dispatch)", lines)
+    if per_batch:
+        print(f"\nTOTAL per-batch (scan body) kernel launches: {per_batch}")
+    else:
+        per_batch = main_total / max(args.fuse, 1)
+        print(f"\nUNROLLED program: {main_total} launches per dispatch "
+              f"= {per_batch:.1f} per batch (G={args.fuse})")
     print(f"At 0.8 ms fixed/kernel that is {per_batch * 0.8:.1f} ms/batch "
           f"floor on the tunneled runtime.")
 
