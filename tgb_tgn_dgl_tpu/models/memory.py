@@ -144,7 +144,13 @@ def apply_mail(
         time_encode(params["time"], dt),
     ], axis=-1)
 
-    if cfg.combine == "last":
+    if cfg.mailbox_size == 1:
+        # S=1 (the TGL default, config/TGN.yml:15): one slot IS the
+        # last/mean message — skip the argmax/take-along selection
+        # machinery (each op is a kernel; kernel count is the binding
+        # cost on tunneled runtimes, BASELINE.md round-5 census)
+        agg = msg[:, 0]
+    elif cfg.combine == "last":
         # last-by-event-id (the global event counter is strictly
         # time-ordered, the same recency key the reference's cache topk
         # uses, neighbor_loader.py:99; LastAggregator uses scatter_max

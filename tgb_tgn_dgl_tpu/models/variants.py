@@ -83,7 +83,11 @@ def eager_apply_mail(params: Dict, cfg: EagerMemoryConfig,
     mv = state.mail_valid[uniq_nid]
     h = state.mem[uniq_nid]
     lu = state.last_update[uniq_nid]
-    if cfg.combine == "last":
+    if mail.shape[1] == 1:
+        # one slot IS the last/mean message (see models/memory.py) —
+        # selected-away values only feed the has-masked cell update
+        agg = mail[:, 0]
+    elif cfg.combine == "last":
         score = jnp.where(mv, me, -1)
         sel = jnp.argmax(score, axis=1)
         agg = jnp.take_along_axis(mail, sel[:, None, None], axis=1)[:, 0]
