@@ -145,6 +145,39 @@ def test_eval_neg_chunking_is_exact():
     assert full == pytest.approx(chunked, abs=1e-5), (full, chunked)
 
 
+@pytest.mark.parametrize("frozen", [True, False],
+                         ids=["frozen-memory", "mailbox-memory"])
+def test_train_lean_wire_exact_epoch(tiny_data, frozen):
+    """wire_train_lean (device-derived train Δt) must reproduce the
+    ship-Δt epoch EXACTLY: identical params and on-device metrics after
+    one epoch, and identical val MRR after the streaming eval — across
+    both memory modes and whichever packer (numpy or native C++,
+    including its pack-ahead pipeline) the build provides."""
+    import jax
+
+    def run(lean):
+        raw = dict(TINY)
+        raw["gnn"] = [dict(att_head=4, dim_out=32, dim_time=32)]
+        raw["memory"] = [dict(dim_out=32, dim_time=32)]
+        raw["train"] = [dict(epoch=1, batch_size=64, lr=1e-3,
+                             dropout=0.0, att_dropout=0.0,
+                             frozen_memory=frozen,
+                             wire_train_lean=lean)]
+        eng = Engine(tiny_data, parse_config_dict(raw))
+        stats = eng.train_epoch()
+        return eng, stats
+
+    a, sa = run(False)
+    b, sb = run(True)
+    assert b._train_lean and not a._train_lean
+    np.testing.assert_allclose(sa["loss"], sb["loss"], rtol=0, atol=0)
+    for pa, pb in zip(jax.tree_util.tree_leaves(a.params),
+                      jax.tree_util.tree_leaves(b.params)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    np.testing.assert_allclose(a.evaluate("val"), b.evaluate("val"),
+                               rtol=0, atol=0)
+
+
 def _epoch_with_fuse(data, fuse, frozen=True):
     """One train epoch with dropout off; returns (params, stats)."""
     raw = dict(TINY)

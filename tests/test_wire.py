@@ -274,3 +274,63 @@ def test_dedup_wire_eval_lean_exact():
                 np.testing.assert_array_equal(
                     np.asarray(a), np.asarray(b).astype(np.asarray(a).dtype),
                     err_msg=f"lean eval M={M} S={S} batch@{lo} field {f}")
+
+
+def test_dedup_wire_train_lean_exact():
+    """TRAIN-LEAN dedup wire (train_lean_dedup): the device clock grid
+    (order-key scatter-max + cummax over blocks + pre-batch clock0)
+    must reproduce the packer's pass-2 clock evolution BIT-exactly —
+    including the neg → dst → src within-block write order, a node
+    written in MULTIPLE blocks (prefix semantics), negatives colliding
+    with endpoints, repeated negatives in one block (last-row-wins),
+    duplicate timestamps, and cross-batch clock state (every batch
+    after the first reads pre-batch clocks the device never saw)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tgb_tgn_dgl_tpu.data.dependency import dependency_aware_batch
+    from tgb_tgn_dgl_tpu.ops.wire import expand_dedup, train_lean_dedup
+
+    for (S, seed) in [(1, 3), (2, 7)]:
+        r = np.random.default_rng(seed)
+        N, B, E = 60, 150, 600           # small N: heavy node collisions
+        cfg = PackerConfig(num_neighbors=5, batch_size=B,
+                           max_intra_block=8, mailbox_size=S)
+        pk_a = StreamPacker(N, cfg)
+        pk_b = StreamPacker(N, cfg)
+        t_all = np.sort(r.uniform(0, 1e6, E)).astype(np.float32)
+        t_all[100:110] = t_all[100]      # duplicate timestamps
+        src_all = r.integers(0, N, E).astype(np.int32)
+        dst_all = r.integers(0, N, E).astype(np.int32)
+        blocks_all = dependency_aware_batch(src_all, dst_all, B)
+        times_dev = jnp.asarray(t_all)
+        for lo in range(0, E, B):
+            hi = min(lo + B, E)
+            rows = np.arange(lo, hi)
+            # negatives drawn from the same small universe → frequent
+            # collisions with endpoints in the same block
+            neg = r.integers(0, N, hi - lo).astype(np.int32)
+            args = (src_all[lo:hi], dst_all[lo:hi], t_all[lo:hi], rows,
+                    blocks_all[lo:hi], neg)
+            clock_before = np.array(pk_b.clock, np.float32)
+            pack = pk_a.pack(*args)
+            out = pk_b.pack_wire_dedup(*args)
+            assert out is not None
+            wire, P = out
+            want = pack.device()
+            wire = train_lean_dedup(wire, blocks_all[lo:hi], 64,
+                                    clock_before)
+            assert wire.cache_dt is None and wire.clock0 is not None
+            got = expand_dedup(jax.tree.map(jnp.asarray, wire),
+                               cfg.num_neighbors, P, N,
+                               ev_times=times_dev)
+            for f in type(want)._fields:
+                a = getattr(want, f)
+                b = getattr(got, f)
+                if a is None:
+                    assert b is None, f
+                    continue
+                np.testing.assert_array_equal(
+                    np.asarray(a),
+                    np.asarray(b).astype(np.asarray(a).dtype),
+                    err_msg=f"train lean S={S} batch@{lo} field {f}")

@@ -41,7 +41,8 @@ from ..models.variants import (EagerMemoryConfig, dyrep_messages,
                                init_eager_memory_state)
 from ..ops.wire import (BlobWire, DedupWire, blob_stack, compact_wire,
                         eval_lean_dedup, expand_any, expand_wire,
-                        pack_to_wire, stack_wires, unblob_one)
+                        pack_to_wire, stack_wires, train_lean_dedup,
+                        unblob_one)
 from ..utils.config import FrameworkConfig
 from .checkpoint import (EarlyStopMonitor, load_pytree, rng_state_from_array,
                          rng_state_to_array, save_pytree)
@@ -207,6 +208,10 @@ class Engine:
         # Fused groups ship as 3 blob arrays (ops/wire.BlobWire): the
         # tunneled H2D path charges a large fixed cost PER ARRAY.
         self._wire_blob = bool(tr.wire_blob) and not self.device_cache
+        # Train-lean wire (ops/wire.train_lean_dedup): TRAIN dedup wires
+        # drop their Δt fields; the device re-derives them from the time
+        # table + pre-batch clock rows (bit-exact).
+        self._train_lean = bool(tr.wire_train_lean) and self._wire_dedup
         self._rslot = config.gnn.layer > 1
         # Arch selection (gnn.arch knob): 'transformer_attention' (TGNN),
         # 'identity' (JODIE), 'dyrep' (models/factory.py).  JODIE/DyRep
@@ -1456,6 +1461,8 @@ class Engine:
             yield from self._prefetch_pipelined(split)
             return
         d = self.data
+        lean_train = self._train_lean and eval_negs is None
+        nb_bucket = self._train_nb_bucket(split) if lean_train else 0
         for lo, hi, rows, blk in self._iter_batches(split):
             src, dst, t = d.src[rows], d.dst[rows], d.t[rows]
             if eval_negs is None:
@@ -1464,13 +1471,34 @@ class Engine:
             else:
                 neg, _mask = eval_negs.query_batch(lo, hi)
                 em = True
+            if lean_train:
+                # pre-batch clock snapshot (the pack advances it)
+                snap = np.array(self.packer.clock, np.float32)
             out = self._pack_dedup(src, dst, t, rows, blk, neg, em)
             if out is not None:
-                yield lo, hi, out[0], out[1]
+                wire, iw = out
+                if lean_train:
+                    wire = train_lean_dedup(wire, blk, nb_bucket, snap)
+                yield lo, hi, wire, iw
                 continue
             wire, iw = self.packer.pack_wire(src, dst, t, rows, blk, neg,
                                              eval_mode=em)
             yield lo, hi, self._maybe_compact(wire, iw), iw
+
+    def _train_nb_bucket(self, split: str = "train") -> int:
+        """Static block-count bucket for the train-lean clock grid
+        (one compiled signature per split)."""
+        cached = getattr(self, "_train_nb_cache", None)
+        if cached is None:
+            cached = self._train_nb_cache = {}
+        if split not in cached:
+            blocks = self.blocks_for(split)
+            nb_max = int(blocks.max()) + 1 if len(blocks) else 1
+            b = 16
+            while b < nb_max:
+                b *= 2
+            cached[split] = b
+        return cached[split]
 
     def _prefetch_pipelined(self, split: str):
         """One-deep pack-ahead: batch i+1 packs inside the native packer's
@@ -1481,12 +1509,28 @@ class Engine:
         the wires themselves are bit-identical (the worker runs the same
         begin/fill code into staging buffers)."""
         d = self.data
+        lean_train = self._train_lean
+        nb_bucket = self._train_nb_bucket(split) if lean_train else 0
 
         def sync_pack(args):
             wire, iw = self.packer.pack_wire(*args)
             return self._maybe_compact(wire, iw), iw
 
-        pend = None                      # (lo, hi, args) submitted job
+        def lean(out, pend):
+            """Apply the train-lean post-pass to a fetched dedup wire
+            (pend = (lo, hi, args, snap))."""
+            if not lean_train or not isinstance(out[0], DedupWire):
+                return out
+            return (train_lean_dedup(out[0], pend[2][4], nb_bucket,
+                                     pend[3]), out[1])
+
+        def snap():
+            # pre-batch clock snapshot, taken BEFORE submit (the worker
+            # advances the clock while packing)
+            return (np.array(self.packer.clock, np.float32)
+                    if lean_train else None)
+
+        pend = None                # (lo, hi, args, clock_snap) submitted
         for lo, hi, rows, blk in self._iter_batches(split):
             src, dst, t = d.src[rows], d.dst[rows], d.t[rows]
             neg = self.neg_sampler.sample(dst)
@@ -1495,22 +1539,29 @@ class Engine:
                 out = self.packer.pack_wire_dedup_fetch()
                 if out is None:          # P>255: repack synchronously
                     out = sync_pack(pend[2])
+                else:
+                    out = lean(out, pend)
                 plo, phi = pend[0], pend[1]
+                s = snap()
                 if self.packer.pack_wire_dedup_submit(*args):
-                    pend = (lo, hi, args)
+                    pend = (lo, hi, args, s)
                     yield plo, phi, out[0], out[1]
                 else:                    # unsubmittable batch: go sync
                     pend = None
                     yield plo, phi, out[0], out[1]
                     yield (lo, hi) + sync_pack(args)
-            elif self.packer.pack_wire_dedup_submit(*args):
-                pend = (lo, hi, args)
             else:
-                yield (lo, hi) + sync_pack(args)
+                s = snap()
+                if self.packer.pack_wire_dedup_submit(*args):
+                    pend = (lo, hi, args, s)
+                else:
+                    yield (lo, hi) + sync_pack(args)
         if pend is not None:
             out = self.packer.pack_wire_dedup_fetch()
             if out is None:
                 out = sync_pack(pend[2])
+            else:
+                out = lean(out, pend)
             yield pend[0], pend[1], out[0], out[1]
 
     def _eval_chunk_args(self, split: str, fixed, B: int):

@@ -470,6 +470,12 @@ class DedupWire(NamedTuple):
     # SLICED in the slot-unique eval's embed chunks)
     ev_src_loc: Optional[jnp.ndarray] = None  # (B,) i32
     ev_dst_loc: Optional[jnp.ndarray] = None  # (B,) i32
+    # --- train-lean extension (train_lean_dedup): pre-batch clock rows
+    # for the uniq table; the in-batch clock evolution (packer pass-2,
+    # data/packer.py:410-421) re-derives on device from the event
+    # arrays, so the three per-slot f32 Δt fields drop from TRAIN wires
+    # too (~55% of the train wire bytes).  None on eval/full wires. ---
+    clock0: Optional[jnp.ndarray] = None     # (Ub,) f32
 
 
 def eval_lean_dedup(wire: DedupWire, blocks, nb_bucket: int):
@@ -526,6 +532,64 @@ def eval_lean_dedup(wire: DedupWire, blocks, nb_bucket: int):
                          root_blk=root_blk, ev_blk=ev_blk,
                          blk_max=blk_max, ev_src_loc=ev_src_loc,
                          ev_dst_loc=ev_dst_loc)
+
+
+def train_lean_dedup(wire: DedupWire, blocks, nb_bucket: int,
+                     clock_before):
+    """Host post-pass for TRAIN dedup wires: drop the three per-slot
+    f32 Δt fields (cache_dt/self_dt/ia_dt — ~55% of the train wire's
+    bytes; H2D bandwidth is ~half the per-group wall on tunneled
+    hosts, BASELINE.md round 5) and attach what expand_dedup's
+    train-lean branch needs to re-derive them BIT-EXACTLY on device:
+
+      * ``clock0`` — the PRE-BATCH persistent clock rows for the uniq
+        table (``clock_before`` is the packer's clock array snapshot
+        taken before this batch advanced it);
+      * ``root_blk``/``ev_blk`` — the same block metadata the
+        eval-lean wire ships (u8/u16 by the static ``nb_bucket``).
+
+    Unlike eval mode there is no per-block wipe (blk_max stays None —
+    that is how the device expansion distinguishes the two lean
+    branches), and no timestamp-sign restriction: the device clock
+    grid uses an order-key sentinel, not a negative-time sentinel.
+    Returns the wire unchanged when the block count overflows the id
+    field."""
+    braw = len(blocks)
+    if braw == 0:
+        return wire
+    neg_slot = np.asarray(wire.ev_neg_slot, np.int64)
+    if neg_slot.ndim != 1:
+        return wire          # train wires carry one negative per event
+    blocks = np.asarray(blocks)
+    nb = int(blocks.max()) + 1
+    if nb > min(nb_bucket, 65536):
+        return wire
+    blk_dt = np.uint8 if nb_bucket <= 256 else np.uint16
+    B = np.asarray(wire.ev_t).shape[0]
+    R = np.asarray(wire.root_loc).shape[0]
+    ev_blk = np.zeros(B, blk_dt)
+    ev_blk[:braw] = blocks.astype(blk_dt)
+    # block of every root slot, via the slot maps (every root is
+    # referenced by at least one event of its own block — roots are
+    # unique(src ∪ dst ∪ neg) per block)
+    root_blk = np.zeros(R, blk_dt)
+    src_slot = np.asarray(wire.ev_src_slot, np.int64)
+    pos_slot = np.asarray(wire.ev_pos_slot, np.int64)
+    root_blk[src_slot[:braw]] = ev_blk[:braw]
+    root_blk[pos_slot[:braw]] = ev_blk[:braw]
+    root_blk[neg_slot[:braw]] = ev_blk[:braw]
+    uniq = np.asarray(wire.uniq_nid, np.int64)
+    N = clock_before.shape[0]
+    clock0 = np.where(uniq >= N, 0.0,
+                      np.asarray(clock_before, np.float32)[
+                          np.minimum(uniq, N - 1)]).astype(np.float32)
+    return wire._replace(cache_dt=None, self_dt=None, ia_dt=None,
+                         root_blk=root_blk, ev_blk=ev_blk,
+                         # zeros: carries the static block-bucket width
+                         # for the device grid (the eval branch's wipe
+                         # table reused as a shape carrier)
+                         blk_max=np.zeros(nb_bucket, np.float32),
+                         clock0=clock0)
 
 
 def _mw_from_slots(mw_slot, ev_src, ev_dst, ev_t, ev_idx, num_nodes):
@@ -600,7 +664,45 @@ def expand_dedup(wire: DedupWire, num_neighbors: int, intra_width: int,
     uniq_nid = i32(wire.uniq_nid)
     src_slot, pos_slot = i32(wire.ev_src_slot), i32(wire.ev_pos_slot)
 
-    if lean_dt:
+    if lean_dt and wire.clock0 is not None:
+        # ---- TRAIN clock reconstruction (train_lean_dedup) -------------
+        # The packer's pass-2 clock (data/packer.py:410-421): per block,
+        # vectorized writes in role order neg → dst → src (last-write-
+        # wins), reading the value AFTER the root's own block.  Encode
+        # each write as an ORDER KEY kkey = blk·3B + role·B + row + 1
+        # (0 = never written): max kkey over a (u, blk) cell IS the
+        # block's last write, and because blk dominates the key, an
+        # inclusive cummax along the block axis gives the last write in
+        # blocks ≤ b.  The written VALUE recovers as ev_t[(kkey−1) mod
+        # B] (blk·3B and role·B vanish mod B).  Cells never written
+        # fall back to the shipped pre-batch clock0.  ONE scatter-max +
+        # ONE cummax; every Δt below is then the same f32 subtraction
+        # the host performed — bit-exact
+        # (tests/test_wire.py::test_dedup_wire_train_lean_exact).
+        NBb = wire.blk_max.shape[0]      # zeros carrier: static width
+        root_blk = i32(wire.root_blk)                    # (R,)
+        ev_blk = i32(wire.ev_blk)                        # (B,)
+        Bq = ev_src.shape[0]
+        rows = jnp.arange(Bq, dtype=jnp.int32)
+        loc_src = root_loc[src_slot]
+        loc_dst = root_loc[pos_slot]
+        loc_neg = root_loc[i32(wire.ev_neg_slot)]        # (B,) train M=1
+
+        def kkey(role):
+            return jnp.where(wire.ev_valid,
+                             ev_blk * (3 * Bq) + role * Bq + rows + 1, 0)
+
+        locs = jnp.concatenate([loc_neg, loc_dst, loc_src])
+        blks = jnp.concatenate([ev_blk, ev_blk, ev_blk])
+        keys = jnp.concatenate([kkey(0), kkey(1), kkey(2)])
+        G = jnp.zeros((Ub, NBb), jnp.int32).at[locs, blks].max(keys)
+        PG = jax.lax.cummax(G, axis=1)
+        c0 = wire.clock0
+
+        def clock_at(loc, blk):
+            pg = PG[loc, blk]
+            return jnp.where(pg > 0, wire.ev_t[(pg - 1) % Bq], c0[loc])
+    elif lean_dt:
         # ---- per-(uniq node, block) eval clock reconstruction ----------
         # grid[u, b] = max event time of node u within block b (−1 when
         # u is not an endpoint of b); clock_b[u] = grid or the block's

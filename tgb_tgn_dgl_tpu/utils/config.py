@@ -178,6 +178,20 @@ class TrainConfig:
     # (the fused epoch is equal to the per-batch epoch to ~1e-5, not
     # bitwise — test_fused_steps_exact pins the scan path for that).
     fuse_unroll: Optional[bool] = None
+    # TRAIN-LEAN wire (ops/wire.train_lean_dedup): drop the three
+    # per-slot f32 Δt fields from TRAIN dedup wires (~55% of the wire
+    # bytes) and re-derive them bit-exactly on device from the global
+    # time table + a pre-batch (Ub,) clock row + one order-key
+    # scatter-max + cummax (the packer's pass-2 clock evolution,
+    # data/packer.py:410-421).  Default OFF: measured 0.65-0.75× on the
+    # tunneled v5e in BOTH scan and unrolled fused modes
+    # (tools/ab_train_lean.py) — the 2D clock-grid gathers break the
+    # Δt→cos→matmul fusion the shipped fields feed directly (census:
+    # 394 kernels/batch vs 274), and that costs more than the ~55%
+    # H2D saving buys (BASELINE.md round 5).  The path stays available
+    # (bit-exact, tests/test_wire.py) for deployments whose host link
+    # is far slower than their chips.
+    wire_train_lean: bool = False
     # Device-cache mode (ops/lean_wire.py): keep the recency neighbor
     # cache + per-node clocks ON DEVICE and ship a lean event-only wire
     # (~0.7 MB/batch vs ~1.8 MB, and a faster host packer).  Bit-exact
