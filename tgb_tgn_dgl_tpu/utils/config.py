@@ -160,8 +160,13 @@ class TrainConfig:
     # tunneled/remote TPU runtimes can reach 0.4 s per call, so per-batch
     # dispatch — not compute — is the epoch wall; fusing G steps cuts the
     # dispatch count G×.  Exact: the scanned body is the same program as
-    # the per-batch step.  0/1 = off.
-    fuse_steps: int = 8
+    # the per-batch step.  0/1 = off.  Default 16: round 2 measured
+    # G=16 LOSING (64K vs 95K e/s) when each group shipped ~21 arrays
+    # (per-array H2D fixed cost × bigger groups); with the 3-blob wire
+    # (wire_blob) that penalty is gone and two interleaved round-5
+    # sweeps measured G16/G8 at 1.14-1.19 median pairwise on the
+    # tunneled chip (RTT amortization; BASELINE.md).
+    fuse_steps: int = 16
     # Emit the fused group as STRAIGHT-LINE code (Python loop over the
     # stacked wire) instead of a lax.scan.  The lean/device-cache body
     # NEEDS this (in a while loop its cos/gather chains refuse to fuse —
