@@ -52,6 +52,46 @@ def test_unique_eval_matches_chunked(ev_data, frozen):
     np.testing.assert_allclose(ta, tb, rtol=0, atol=0)
 
 
+@pytest.mark.parametrize("toggles", [(False, False), (True, True)])
+def test_unique_eval_dyrep_matches_chunked(ev_data, toggles):
+    """DyRep's eager mail computes messages from the batch EMBEDDINGS;
+    the slot-unique table holds the same per-(node, block) embeddings
+    the chunked protocol's mail-writing chunk used, so the protocols
+    must agree exactly — metric AND the eager memory/mail state the
+    eval pass leaves behind (the streaming protocol carries it into
+    the next split)."""
+    src_emb, dst_emb = toggles
+
+    def conf(unique):
+        return parse_config_dict({
+            "sampling": [{"neighbor": [5]}],
+            "memory": [{"dim_out": 16, "dim_time": 16,
+                        "memory_update": "rnn",
+                        "use_src_emb_in_msg": src_emb,
+                        "use_dst_emb_in_msg": dst_emb}],
+            "gnn": [{"arch": "dyrep", "dim_out": 16, "att_head": 2}],
+            "train": [{"batch_size": 150, "lr": 1e-3, "dropout": 0.0,
+                       "att_dropout": 0.0, "frozen_memory": False,
+                       "eval_slot_unique": unique, "seed": 11}],
+        })
+
+    a = Engine(ev_data, conf(False))
+    b = Engine(ev_data, conf(True))
+    assert b.eager_memory and b._eval_unique_supported()
+    for eng in (a, b):
+        eng.train_epoch()
+    va, vb = a.evaluate("val"), b.evaluate("val")
+    np.testing.assert_allclose(va, vb, rtol=0, atol=0)
+    import jax
+    jax.tree.map(
+        lambda x, y: np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-7),
+        a.mem_state, b.mem_state)
+    # the test split streams on from that state identically
+    np.testing.assert_allclose(a.evaluate("test"), b.evaluate("test"),
+                               rtol=0, atol=0)
+
+
 def test_unique_eval_pad_mask_mode(ev_data):
     a = Engine(ev_data, _conf(True, unique=False, neg_mode="pad_mask"))
     b = Engine(ev_data, _conf(True, unique=True, neg_mode="pad_mask"))

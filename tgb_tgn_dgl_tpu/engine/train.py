@@ -660,7 +660,10 @@ class Engine:
     # associative over any column partition
     # (tests/test_eval_unique.py proves MRR equality vs the chunked
     # protocol).  Requires lean dedup wires + gnn.layer == 1 (the same
-    # restriction as DedupWire) and lazy (non-DyRep) memory.
+    # restriction as DedupWire).  DyRep's eager mail is covered too:
+    # the unique emb table holds the same per-(node, block) embeddings
+    # the chunked protocol's mail-writing chunk used, so the eager
+    # commit computes identical messages.
 
     def _log_eval_gate(self, reason: str) -> None:
         """The chunked fallback is a silent 4-10x eval slowdown; say
@@ -681,8 +684,6 @@ class Engine:
                 (self._wire_dedup, "wire_dedup off or strategy!=recent"),
                 (not self.device_cache, "device_cache mode"),
                 (not self._rslot, "gnn.layer>1"),
-                (not (self.use_memory and self.eager_memory),
-                 "DyRep eager memory"),
                 (hasattr(self.packer, "pack_wire_dedup"),
                  "packer lacks dedup wires"),
                 # max_intra_block=None (exact reference mode) can make a
@@ -746,6 +747,7 @@ class Engine:
         N = self.data.num_nodes
         B = self.config.train.batch_size
         use_mem = self.use_memory
+        eager = use_mem and self.eager_memory
         mem_cfg = self.mem_cfg if use_mem else None
         SLOT_FIELDS = ("root_loc", "root_cr", "intra_lo", "intra_cnt",
                        "intra_start", "root_blk")
@@ -766,7 +768,11 @@ class Engine:
                 f: getattr(wire, f)[:Rc] for f in SLOT_FIELDS
                 if getattr(wire, f) is not None})
             pack0 = expand_any(sub0, K, iw, N, times, eval_mode=True)
-            if use_mem:
+            if use_mem and eager:
+                mem_rows, lu_rows = eager_apply_mail(
+                    params["memory"], mem_cfg, memory_or_state,
+                    pack0.uniq_nid)
+            elif use_mem:
                 mem_rows, lu_rows = apply_mail(
                     params["memory"], mem_cfg, memory_or_state,
                     pack0.uniq_nid, feats)
@@ -827,6 +833,25 @@ class Engine:
             batch_mean = val.sum() / jnp.maximum(valid.sum(), 1)
             acc = acc + jnp.stack([batch_mean, jnp.float32(1.0)])
 
+            if use_mem and eager:
+                # DyRep: eager mail computes from the batch's embeddings
+                # — the unique emb table holds exactly the per-(node,
+                # block) embeddings the chunked protocol's LAST chunk
+                # used (slot-unique principle), and the write plan is
+                # event-level.  pack0's root-slot tables are SLICED to
+                # the first embed chunk, so dyrep_messages gets the FULL
+                # (R2,) slot→loc map (the ev_src_loc lesson, CLAUDE.md).
+                full_pack = pack0._replace(
+                    root_loc=wire.root_loc.astype(jnp.int32))
+                mw_mail = dyrep_messages(mem_cfg, emb, full_pack, feats,
+                                         params["time"], mem_rows,
+                                         lu_rows)
+                mem_state = eager_commit(mem_cfg, memory_or_state,
+                                         pack0.uniq_nid, mem_rows,
+                                         lu_rows, pack0.mw_node,
+                                         pack0.mw_slot, mw_mail,
+                                         pack0.mw_t, pack0.mw_eid)
+                return acc, mem_state
             if use_mem:
                 mem_state = commit(mem_cfg, memory_or_state,
                                    pack0.uniq_nid, mem_rows, lu_rows,
