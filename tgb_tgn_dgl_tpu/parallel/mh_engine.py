@@ -141,7 +141,7 @@ class MultiHostEngine(Engine):
         elif self.use_memory:
             self._composed_step = build_composed_memory_step(
                 self.model_cfg, self.mem_cfg, self.optimizer, K, IW, N,
-                n_hosts, jit=self._jit)
+                n_hosts, jit=self._jit, arch=self.arch)
         else:
             self._composed_step = build_composed_frozen_step(
                 self.model_cfg, self.optimizer, K, IW, N, jit=self._jit)

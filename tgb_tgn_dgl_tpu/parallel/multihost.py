@@ -425,7 +425,8 @@ def concat_offset_wires(wires, mail_plans=None, num_nodes=None):
 
 def build_composed_memory_step(model_cfg, mem_cfg, optimizer, K: int,
                                IW: int, N: int, n_ranges: int,
-                               jit: bool = True):
+                               jit: bool = True,
+                               arch: str = "transformer_attention"):
     """Training step for a composed super-batch with the REAL mailbox
     memory (VERDICT r3 item 1 — multi-host x flagship memory).
 
@@ -447,14 +448,21 @@ def build_composed_memory_step(model_cfg, mem_cfg, optimizer, K: int,
     Requires the composed wire's write plans to be serial
     (replan_mail_slots + concat_offset_wires(mail_plans=...)).
 
+    ``arch`` selects the embedding family ('transformer_attention' =
+    TGN, 'identity' = JODIE time projection — models/factory.py); the
+    state chain is arch-independent (lazy mailbox messages never read
+    the forward).  DyRep's eager mail is NOT forward-independent and
+    uses build_composed_dyrep_step instead.
+
     Returns step(params, opt_state, mem_state, feats, wire, rng) ->
     (params, opt_state, mem_state, loss, pos, neg)."""
     import jax
     import jax.numpy as jnp
     import optax
 
+    from ..models.factory import arch_embed, arch_predict
     from ..models.memory import apply_mail, commit
-    from ..models.tgnn import bce_loss, tgnn_forward
+    from ..models.tgnn import bce_loss
     from ..ops.wire import expand_wire
 
     n = n_ranges
@@ -466,7 +474,7 @@ def build_composed_memory_step(model_cfg, mem_cfg, optimizer, K: int,
 
         def loss_fn(p):
             st = mem_state
-            rows = []
+            rows, lus = [], []
             for h in range(n):
                 u_h = pack.uniq_nid[h * Ub:(h + 1) * Ub]
                 r_h, l_h = apply_mail(p["memory"], mem_cfg, st, u_h,
@@ -480,9 +488,13 @@ def build_composed_memory_step(model_cfg, mem_cfg, optimizer, K: int,
                 # commits outside the per-batch grad)
                 st = jax.tree.map(jax.lax.stop_gradient, st_next)
                 rows.append(r_h)
+                lus.append(l_h)
             mem_rows = jnp.concatenate(rows)
-            pos, neg = tgnn_forward(p, model_cfg, mem_rows, feats, pack,
-                                    train=True, rng=rng, local=True)
+            lu_rows = jnp.concatenate(lus)
+            embed = arch_embed(p, arch, model_cfg, mem_rows, lu_rows,
+                               feats, pack, train=True, rng=rng,
+                               local=True)
+            pos, neg = arch_predict(p, embed, pack)
             return bce_loss(pos, neg, pack.ev_valid), (st, pos, neg)
 
         (loss, (mem_state, pos, neg)), grads = jax.value_and_grad(
