@@ -246,6 +246,44 @@ def test_sharded_slot_unique_eval_matches_single(frozen):
                                sh.evaluate("test"), rtol=0, atol=0)
 
 
+def test_sharded_jodie_matches_single():
+    """ShardedEngine arch dispatch (it previously hardcoded TGN and
+    silently ignored gnn.arch): JODIE trains/evals on the mesh to the
+    single-chip Engine's numbers; DyRep is rejected loudly."""
+    from tgb_tgn_dgl_tpu.data.dataset import synthetic
+    from tgb_tgn_dgl_tpu.engine.train import Engine
+    from tgb_tgn_dgl_tpu.parallel.engine import ShardedEngine
+    from tgb_tgn_dgl_tpu.utils.config import parse_config_dict
+
+    data = synthetic("sharded-jodie", num_edges=1024, num_nodes=128,
+                     msg_dim=8, num_neg=6, seed=23)
+    raw = {
+        "sampling": [{"neighbor": [5]}],
+        "memory": [{"dim_out": 32, "dim_time": 32,
+                    "memory_update": "rnn"}],
+        "gnn": [{"arch": "identity", "dim_out": 32, "att_head": 4}],
+        "train": [{"batch_size": 128, "lr": 1e-3, "dropout": 0.0,
+                   "att_dropout": 0.0, "frozen_memory": False,
+                   "fuse_steps": 0, "wire_dedup": False,
+                   "wire_compact": False}],
+    }
+    single = Engine(data, parse_config_dict(raw))
+    l1 = single.train_epoch()["loss"]
+    v1 = single.evaluate("val")
+
+    sh = ShardedEngine(data, parse_config_dict(raw),
+                       mesh=mesh_lib.make_mesh(8, dp=4, state=2))
+    assert sh.arch == "identity"
+    s = sh.train_epoch()
+    np.testing.assert_allclose(l1, s["loss"], rtol=2e-4)
+    np.testing.assert_allclose(v1, sh.evaluate("val"), rtol=2e-4)
+
+    dyrep = {**raw, "gnn": [{**raw["gnn"][0], "arch": "dyrep"}]}
+    with pytest.raises(ValueError, match="dyrep"):
+        ShardedEngine(data, parse_config_dict(dyrep),
+                      mesh=mesh_lib.make_mesh(8, dp=4, state=2))
+
+
 def test_sharded_lean_chunk_eval_matches_plain():
     """When the slot-unique gate is closed (eval_slot_unique=False) the
     sharded chunk protocol ships EVAL-LEAN dedup wires; MRR must equal

@@ -53,6 +53,7 @@ from ..data.native_packer import make_stream_packer
 from ..data.packer import PackerConfig
 from ..models.memory import (MemoryModelConfig, MemoryState, apply_mail,
                              commit, init_memory_params, init_memory_state)
+from ..models.factory import arch_embed, arch_predict, init_arch_params
 from ..models.tgnn import (TGNNConfig, bce_loss, edge_predictor, init_tgnn,
                            tgnn_embed, tgnn_forward)
 from ..ops.wire import (DedupWire, eval_lean_dedup, expand_any,
@@ -136,13 +137,26 @@ class ShardedEngine:
         self.device_cache = False
         self._wire_dedup = False      # TRAIN path: dedup's dedup tables
         self._wire_compact = bool(tr.wire_compact)  # don't range-partition
-        self.arch = "transformer_attention"
+        # arch dispatch (gnn.arch): TGN and JODIE share the lazy mailbox
+        # state this engine shards; DyRep's EAGER mail state is not
+        # sharded here — reject it loudly instead of silently training
+        # the wrong model (use MultiHostEngine for DyRep scaling)
+        self.arch = config.gnn.arch
+        if self.arch == "dyrep":
+            raise ValueError(
+                "ShardedEngine does not support arch='dyrep' (eager "
+                "mail state is not sharded); use the single-chip "
+                "Engine or MultiHostEngine for DyRep")
+        if self.arch != "transformer_attention" and not (
+                config.memory.enabled and not tr.frozen_memory):
+            raise ValueError(f"arch '{self.arch}' requires real memory "
+                             f"(frozen_memory=False)")
         self.eager_memory = False
         self._rslot = False
         self._jit = True
         key = jax.random.PRNGKey(tr.seed)
         k_model, k_mem = jax.random.split(key)
-        self.params = init_tgnn(k_model, self.model_cfg)
+        self.params = init_arch_params(k_model, self.arch, self.model_cfg)
         if self.use_memory:
             assert config.memory.dim_out == config.gnn.dim_out
             self.mem_cfg = MemoryModelConfig(
@@ -232,6 +246,7 @@ class ShardedEngine:
             return acc + jnp.stack([loss.astype(jnp.float32) * n, ap, auc,
                                     jnp.float32(1.0)])
 
+        arch = self.arch
         if use_memory:
             def step(params, opt_state, mem_state, feats, wire, rng, acc):
                 pack = expand_wire(wire, K, IW, N)
@@ -240,9 +255,10 @@ class ShardedEngine:
                     mem_rows, lu_rows = apply_mail(
                         p["memory"], mem_cfg, mem_state, pack.uniq_nid,
                         feats)
-                    pos, neg = tgnn_forward(p, model_cfg, mem_rows, feats,
-                                            pack, train=True, rng=rng,
-                                            local=True)
+                    embed = arch_embed(p, arch, model_cfg, mem_rows,
+                                       lu_rows, feats, pack, train=True,
+                                       rng=rng, local=True)
+                    pos, neg = arch_predict(p, embed, pack)
                     return (bce_loss(pos, neg, pack.ev_valid),
                             (pos, neg, mem_rows, lu_rows))
 
@@ -288,8 +304,9 @@ class ShardedEngine:
                 mem_rows, lu_rows = apply_mail(params["memory"], mem_cfg,
                                                mem_state, pack.uniq_nid,
                                                feats)
-                embed = tgnn_embed(params, model_cfg, mem_rows, feats,
-                                   pack, train=False, local=True)
+                embed = arch_embed(params, arch, model_cfg, mem_rows,
+                                   lu_rows, feats, pack, train=False,
+                                   local=True)
                 mem_state = commit(mem_cfg, mem_state, pack.uniq_nid,
                                    mem_rows, lu_rows, pack.mw_node,
                                    pack.mw_slot, pack.mw_partner,
