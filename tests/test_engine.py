@@ -182,6 +182,37 @@ def test_train_lean_wire_exact_epoch(tiny_data, frozen):
                                rtol=0, atol=0)
 
 
+@pytest.mark.parametrize("arch", ["transformer_attention", "dyrep"])
+def test_remat_exact_epoch(tiny_data, arch):
+    """train.remat (jax.checkpoint on the memory-mode embed) changes
+    only the autodiff schedule — params, metrics and val MRR must be
+    bit-identical to the plain step, dropout included (the recompute
+    replays the same PRNG keys)."""
+    import jax
+
+    def run(remat):
+        raw = dict(TINY)
+        raw["gnn"] = [dict(att_head=4, dim_out=32, dim_time=32,
+                           arch=arch)]
+        raw["memory"] = [dict(dim_out=32, dim_time=32)]
+        raw["train"] = [dict(epoch=1, batch_size=64, lr=1e-3,
+                             dropout=0.1, att_dropout=0.1,
+                             fuse_steps=0, frozen_memory=False,
+                             remat=remat)]
+        eng = Engine(tiny_data, parse_config_dict(raw))
+        stats = eng.train_epoch()
+        return eng, stats
+
+    a, sa = run(False)
+    b, sb = run(True)
+    np.testing.assert_allclose(sa["loss"], sb["loss"], rtol=0, atol=0)
+    for pa, pb in zip(jax.tree_util.tree_leaves(a.params),
+                      jax.tree_util.tree_leaves(b.params)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    np.testing.assert_allclose(a.evaluate("val"), b.evaluate("val"),
+                               rtol=0, atol=0)
+
+
 def _epoch_with_fuse(data, fuse, frozen=True):
     """One train epoch with dropout off; returns (params, stats)."""
     raw = dict(TINY)

@@ -380,8 +380,23 @@ class Engine:
 
         rslot = self._rslot
 
+        def make_embed_fn():
+            """Embed closure for the memory-mode steps; train.remat
+            wraps it in jax.checkpoint so the (R, Kp, ·) grid residuals
+            are recomputed during backward rather than saved.  Bit-exact
+            (same program, same values — only the autodiff schedule
+            changes)."""
+            def embed_fn(p, mem_rows, lu_rows, feats, pack, rng):
+                return arch_embed(p, arch, model_cfg, mem_rows, lu_rows,
+                                  feats, pack, train=True, rng=rng,
+                                  local=True)
+            if self.config.train.remat:
+                return jax.checkpoint(embed_fn)
+            return embed_fn
+
         if self.use_memory and self.eager_memory:       # DyRep
             mem_cfg = self.mem_cfg
+            embed_fn = make_embed_fn()
 
             def step(params, opt_state, mem_state, tables, wire, rng, acc,
                      intra_width):
@@ -392,9 +407,8 @@ class Engine:
                 def loss_fn(p):
                     mem_rows, lu_rows = eager_apply_mail(
                         p["memory"], mem_cfg, mem_state, pack.uniq_nid)
-                    embed = arch_embed(p, arch, model_cfg, mem_rows,
-                                       lu_rows, feats, pack, train=True,
-                                       rng=rng, local=True)
+                    embed = embed_fn(p, mem_rows, lu_rows, feats, pack,
+                                     rng)
                     pos, neg = arch_predict(p, embed, pack)
                     return (bce_loss(pos, neg, pack.ev_valid),
                             (pos, neg, mem_rows, lu_rows, embed))
@@ -421,6 +435,7 @@ class Engine:
 
         if self.use_memory:                              # TGN / JODIE
             mem_cfg = self.mem_cfg
+            embed_fn = make_embed_fn()
 
             def step(params, opt_state, mem_state, tables, wire, rng, acc,
                      intra_width):
@@ -432,9 +447,8 @@ class Engine:
                     mem_rows, lu_rows = apply_mail(
                         p["memory"], mem_cfg, mem_state, pack.uniq_nid,
                         feats)
-                    embed = arch_embed(p, arch, model_cfg, mem_rows,
-                                       lu_rows, feats, pack, train=True,
-                                       rng=rng, local=True)
+                    embed = embed_fn(p, mem_rows, lu_rows, feats, pack,
+                                     rng)
                     pos, neg = arch_predict(p, embed, pack)
                     return (bce_loss(pos, neg, pack.ev_valid),
                             (pos, neg, mem_rows, lu_rows))

@@ -234,6 +234,16 @@ class TrainConfig:
     # the same window); the device side reconstructs per-batch wires
     # with pure slices + same-width bitcasts.  Bit-exact.
     wire_blob: bool = True
+    # Rematerialize the embedding forward (jax.checkpoint) inside the
+    # MEMORY-mode train step: the (R, Kp, ·) gathered-feature grids and
+    # attention intermediates are recomputed during backward instead of
+    # saved — trades embed FLOPs (cheap: gathers fuse into consumers)
+    # for the grid layout-conversion copies the round-5 kernel census
+    # blamed for the memory arm's 277 MB/batch copy traffic
+    # (BASELINE.md).  Bit-exact (same program, same values).  No effect
+    # on frozen-memory steps (their backward is already lean).  Default
+    # per tools/ab_remat.py measurement on the tunneled v5e.
+    remat: bool = False
     # PRNG implementation for the per-step training keys (dropout masks).
     # 'rbg' uses the TPU hardware RNG path — threefry generates masks
     # with ~20 VPU ops per element over the (R, Kp, F+D) edge tensor and
