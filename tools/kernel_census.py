@@ -79,6 +79,10 @@ def main():
                     default="auto",
                     help="fuse_unroll knob (auto = engine default)")
     ap.add_argument("--dump", help="write full HLO to this path")
+    ap.add_argument("--intra", type=int, default=32,
+                    help="train.max_intra_block (grid width Kp = "
+                         "neighbors + 1 + this; probe lane-alignment "
+                         "effects, e.g. 37 -> Kp=48)")
     args = ap.parse_args()
 
     from tgb_tgn_dgl_tpu.data.dataset import synthetic
@@ -90,6 +94,7 @@ def main():
         "gnn": [{"dim_out": 100, "att_head": 8, "layer": 1}],
         "train": [{"batch_size": 2000, "lr": 1e-4, "dropout": 0.2,
                    "compute_dtype": "bfloat16",
+                   "max_intra_block": args.intra,
                    "fuse_steps": args.fuse,
                    "fuse_unroll": {"auto": None, "true": True,
                                    "false": False}[args.unroll],
