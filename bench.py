@@ -199,15 +199,19 @@ def main():
         thr = 0.55 * max(rs)
         return [r for r in rs if r >= thr]
 
+    def _n_degraded():
+        return ((len(rates) - len(_healthy(rates)))
+                + (len(mem_rates) - len(_healthy(mem_rates))))
+
     if not sanity:
         extra = 3
-        while extra > 0 and len(_healthy(rates)) < len(rates):
+        while extra > 0 and _n_degraded() > 0:
             rates += _measure(engine, 1)
             if mem_engine is not None:
                 mem_rates += _measure(mem_engine, 1)
             extra -= 1
     healthy_rates = _healthy(rates)
-    n_degraded = len(rates) - len(healthy_rates)
+    n_degraded = _n_degraded()
     eps = float(np.median(healthy_rates))
     trace = getattr(engine, "last_epoch_trace", {})
 

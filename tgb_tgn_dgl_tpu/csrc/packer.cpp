@@ -219,6 +219,17 @@ void packer_get_state(void* h, int32_t* nbr, int64_t* eid, float* t,
   *cur_e_id = p->cur_e_id;
 }
 
+// Clock-only snapshot: the train-lean wire needs the (N,) pre-batch
+// clock EVERY batch (engine/train.py::_prefetch); packer_get_state
+// would materialize the whole (N, K) cache state (~16K bytes/node)
+// just to read it — on the large-N slow-link hosts train-lean exists
+// for, that copy would dwarf the pack itself.
+void packer_get_clock(void* h, float* clock) {
+  auto* p = static_cast<Packer*>(h);
+  wait_idle(p);
+  std::memcpy(clock, p->clock.data(), p->clock.size() * 4);
+}
+
 void packer_set_state(void* h, const int32_t* nbr, const int64_t* eid,
                       const float* t, const float* clock,
                       const int64_t* mail_ptr, int64_t cur_e_id) {

@@ -39,6 +39,8 @@ def _lib():
                                          i64p, c.POINTER(c.c_int64)]
         lib.packer_set_state.argtypes = [c.c_void_p, i32p, i64p, f32p, f32p,
                                          i64p, c.c_int64]
+        if hasattr(lib, "packer_get_clock"):   # absent in stale builds
+            lib.packer_get_clock.argtypes = [c.c_void_p, f32p]
         lib.packer_insert.argtypes = [c.c_void_p, i32p, i32p, f32p, i64p,
                                       c.c_int64]
         lib.packer_pack_begin.argtypes = [
@@ -183,9 +185,20 @@ class NativeStreamPacker:
     def cache_t(self):
         return self._get_state()[2]
 
+    def clock_snapshot(self) -> np.ndarray:
+        """Fresh (N,) clock copy via the clock-only C entry — the
+        train-lean wire snapshots this EVERY batch; going through
+        _get_state would materialize the whole (N, K) cache state per
+        batch just to read (N,) floats."""
+        if hasattr(self._lib, "packer_get_clock"):
+            clock = np.empty(self.N, np.float32)
+            self._lib.packer_get_clock(self._h, clock)
+            return clock
+        return self._get_state()[3]
+
     @property
     def clock(self):
-        return self._get_state()[3]
+        return self.clock_snapshot()
 
     @property
     def cur_e_id(self):

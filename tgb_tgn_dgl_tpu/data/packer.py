@@ -227,6 +227,13 @@ class StreamPacker:
         self.cur_e_id = 0
         self.mail_ptr.fill(0)
 
+    def clock_snapshot(self) -> np.ndarray:
+        """Fresh copy of the (N,) persistent clock — the train-lean
+        wire's pre-batch snapshot (the pack advances the live array).
+        The native twin serves this from a clock-only C entry instead
+        of materializing its full state."""
+        return self.clock.copy()
+
     # --- row-level state surgery (owned-state scratch packs;
     # parallel/owned_state.py::pack_with_gathered_state) ---
     def rows_api_available(self) -> bool:

@@ -41,8 +41,8 @@ from ..models.variants import (EagerMemoryConfig, dyrep_messages,
                                init_eager_memory_state)
 from ..ops.wire import (BlobWire, DedupWire, blob_stack, compact_wire,
                         eval_lean_dedup, expand_any, expand_wire,
-                        pack_to_wire, stack_wires, train_lean_dedup,
-                        unblob_one)
+                        nb_bucket_of, pack_to_wire, stack_wires,
+                        train_lean_dedup, unblob_one)
 from ..utils.config import FrameworkConfig
 from .checkpoint import (EarlyStopMonitor, load_pytree, rng_state_from_array,
                          rng_state_to_array, save_pytree)
@@ -749,10 +749,7 @@ class Engine:
                     f"auto: per-block candidate dedup {dedup_win:.2f}x "
                     f"< 1.5x at N={N}")
                 return False, 0
-        nb_bucket = 16
-        while nb_bucket < nb_max:
-            nb_bucket *= 2
-        return True, nb_bucket
+        return True, nb_bucket_of(blocks)
 
     def _build_unique_eval_step(self):
         model_cfg = self.model_cfg
@@ -1511,8 +1508,9 @@ class Engine:
                 neg, _mask = eval_negs.query_batch(lo, hi)
                 em = True
             if lean_train:
-                # pre-batch clock snapshot (the pack advances it)
-                snap = np.array(self.packer.clock, np.float32)
+                # pre-batch clock snapshot (the pack advances it);
+                # clock_snapshot is a fresh copy — no second np.array
+                snap = self.packer.clock_snapshot()
             out = self._pack_dedup(src, dst, t, rows, blk, neg, em)
             if out is not None:
                 wire, iw = out
@@ -1531,12 +1529,7 @@ class Engine:
         if cached is None:
             cached = self._train_nb_cache = {}
         if split not in cached:
-            blocks = self.blocks_for(split)
-            nb_max = int(blocks.max()) + 1 if len(blocks) else 1
-            b = 16
-            while b < nb_max:
-                b *= 2
-            cached[split] = b
+            cached[split] = nb_bucket_of(self.blocks_for(split))
         return cached[split]
 
     def _prefetch_pipelined(self, split: str):
@@ -1565,9 +1558,9 @@ class Engine:
 
         def snap():
             # pre-batch clock snapshot, taken BEFORE submit (the worker
-            # advances the clock while packing)
-            return (np.array(self.packer.clock, np.float32)
-                    if lean_train else None)
+            # advances the clock while packing); clock_snapshot reads
+            # only the (N,) clock, not the full packer state
+            return self.packer.clock_snapshot() if lean_train else None
 
         pend = None                # (lo, hi, args, clock_snap) submitted
         for lo, hi, rows, blk in self._iter_batches(split):
@@ -1648,11 +1641,7 @@ class Engine:
         tiny per-block metadata (expand_dedup's lean branch)."""
         # static block-count bucket for the whole pass: ONE compiled
         # signature instead of a mid-eval ratchet
-        blocks_split = self.blocks_for(split)
-        nb_max = int(blocks_split.max()) + 1 if len(blocks_split) else 1
-        nb_bucket = 16
-        while nb_bucket < nb_max:
-            nb_bucket *= 2
+        nb_bucket = nb_bucket_of(self.blocks_for(split))
 
         def lean(out, blk):
             wire, iw = out

@@ -478,6 +478,51 @@ class DedupWire(NamedTuple):
     clock0: Optional[jnp.ndarray] = None     # (Ub,) f32
 
 
+def nb_bucket_of(blocks) -> int:
+    """Pow2 (floor 16) bucket for a split's dependency-block count —
+    the STATIC shape every lean-wire consumer keys its compiled
+    signature on.  One definition shared by the train-lean, eval-lean
+    and slot-unique paths across all engines: a floor/growth change
+    that landed in only one call site would split their compiled
+    buckets and trigger 20-300 s XLA recompiles mid-pass on tunneled
+    backends."""
+    nb_max = int(blocks.max()) + 1 if len(blocks) else 1
+    b = 16
+    while b < nb_max:
+        b *= 2
+    return b
+
+
+def _lean_block_meta(wire: DedupWire, blocks, nb_bucket: int):
+    """Shared block-metadata derivation for BOTH lean wire post-passes
+    (eval_lean_dedup / train_lean_dedup): the u8/u16 id-field gate and
+    the per-event / per-root-slot block ids, scattered through the slot
+    maps (every root is referenced by at least one event of its own
+    block — roots are unique(src ∪ dst ∪ neg) per block).  Returns
+    (ev_blk, root_blk, src_slot, pos_slot), or None when the block
+    count overflows the id field.  One definition so the block-id
+    representation can never desynchronize between train and eval."""
+    braw = len(blocks)
+    blocks = np.asarray(blocks)
+    nb = int(blocks.max()) + 1
+    if nb > min(nb_bucket, 65536):
+        return None
+    blk_dt = np.uint8 if nb_bucket <= 256 else np.uint16
+    B = np.asarray(wire.ev_t).shape[0]
+    R = np.asarray(wire.root_loc).shape[0]
+    ev_blk = np.zeros(B, blk_dt)
+    ev_blk[:braw] = blocks.astype(blk_dt)
+    root_blk = np.zeros(R, blk_dt)
+    src_slot = np.asarray(wire.ev_src_slot, np.int64)
+    pos_slot = np.asarray(wire.ev_pos_slot, np.int64)
+    root_blk[src_slot[:braw]] = ev_blk[:braw]
+    root_blk[pos_slot[:braw]] = ev_blk[:braw]
+    neg_slot = np.asarray(wire.ev_neg_slot, np.int64)
+    neg2d = neg_slot.reshape(B, -1)[:braw]
+    root_blk[neg2d] = ev_blk[:braw, None]
+    return ev_blk, root_blk, src_slot, pos_slot
+
+
 def eval_lean_dedup(wire: DedupWire, blocks, nb_bucket: int):
     """Host post-pass for EVAL dedup wires: drop the three per-slot f32
     Δt fields (cache_dt/self_dt/ia_dt — the largest wire fields at
@@ -497,31 +542,17 @@ def eval_lean_dedup(wire: DedupWire, blocks, nb_bucket: int):
     if braw == 0:
         return wire
     blocks = np.asarray(blocks)
-    nb = int(blocks.max()) + 1
-    if nb > min(nb_bucket, 65536):
-        return wire
     t = np.asarray(wire.ev_t)[:braw]
     if braw and t.min() < 0:
         return wire
-    blk_dt = np.uint8 if nb_bucket <= 256 else np.uint16
-    B = np.asarray(wire.ev_t).shape[0]
+    meta = _lean_block_meta(wire, blocks, nb_bucket)
+    if meta is None:
+        return wire
+    ev_blk, root_blk, src_slot, pos_slot = meta
     R = np.asarray(wire.root_loc).shape[0]
-    ev_blk = np.zeros(B, blk_dt)
-    ev_blk[:braw] = blocks.astype(blk_dt)
     # per-block wipe value = the block's max event time (packer.py:389)
     blk_max = np.zeros(nb_bucket, np.float32)
     np.maximum.at(blk_max, blocks, t)
-    # block of every root slot: every root is referenced by at least one
-    # event slot map of its own block (roots = unique(src ∪ dst ∪ neg)
-    # per block), so scatter the event blocks through the slot maps
-    root_blk = np.zeros(R, blk_dt)
-    src_slot = np.asarray(wire.ev_src_slot, np.int64)
-    pos_slot = np.asarray(wire.ev_pos_slot, np.int64)
-    root_blk[src_slot[:braw]] = ev_blk[:braw]
-    root_blk[pos_slot[:braw]] = ev_blk[:braw]
-    neg_slot = np.asarray(wire.ev_neg_slot, np.int64)
-    neg2d = neg_slot.reshape(B, -1)[:braw]
-    root_blk[neg2d] = ev_blk[:braw, None]
     # endpoint uniq-locs for the device clock-grid build (see the
     # DedupWire field comment): root_loc composed with the slot maps,
     # resolved HERE so chunked consumers never index the full table
@@ -560,24 +591,19 @@ def train_lean_dedup(wire: DedupWire, blocks, nb_bucket: int,
     neg_slot = np.asarray(wire.ev_neg_slot, np.int64)
     if neg_slot.ndim != 1:
         return wire          # train wires carry one negative per event
-    blocks = np.asarray(blocks)
-    nb = int(blocks.max()) + 1
-    if nb > min(nb_bucket, 65536):
-        return wire
-    blk_dt = np.uint8 if nb_bucket <= 256 else np.uint16
     B = np.asarray(wire.ev_t).shape[0]
-    R = np.asarray(wire.root_loc).shape[0]
-    ev_blk = np.zeros(B, blk_dt)
-    ev_blk[:braw] = blocks.astype(blk_dt)
-    # block of every root slot, via the slot maps (every root is
-    # referenced by at least one event of its own block — roots are
-    # unique(src ∪ dst ∪ neg) per block)
-    root_blk = np.zeros(R, blk_dt)
-    src_slot = np.asarray(wire.ev_src_slot, np.int64)
-    pos_slot = np.asarray(wire.ev_pos_slot, np.int64)
-    root_blk[src_slot[:braw]] = ev_blk[:braw]
-    root_blk[pos_slot[:braw]] = ev_blk[:braw]
-    root_blk[neg_slot[:braw]] = ev_blk[:braw]
+    # order-key width guard: the device reconstruction encodes each
+    # clock write as kkey = blk·3B + role·B + row + 1 in INT32 (x64 is
+    # off under jit), so the max key 3·B·nb_bucket must fit — the u16
+    # block gate alone allows B·nb combinations past 2^31 (B ≥ ~27K on
+    # a hub-heavy stream), where wrapped keys would silently pick the
+    # wrong last write.  Overflowing batches ship the full Δt wire.
+    if 3 * B * nb_bucket >= 2 ** 31:
+        return wire
+    meta = _lean_block_meta(wire, blocks, nb_bucket)
+    if meta is None:
+        return wire
+    ev_blk, root_blk, _src_slot, _pos_slot = meta
     uniq = np.asarray(wire.uniq_nid, np.int64)
     N = clock_before.shape[0]
     clock0 = np.where(uniq >= N, 0.0,

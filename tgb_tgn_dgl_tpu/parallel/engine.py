@@ -57,7 +57,7 @@ from ..models.factory import arch_embed, arch_predict, init_arch_params
 from ..models.tgnn import (TGNNConfig, bce_loss, edge_predictor, init_tgnn,
                            tgnn_embed, tgnn_forward)
 from ..ops.wire import (DedupWire, eval_lean_dedup, expand_any,
-                        expand_wire, stack_wires)
+                        expand_wire, nb_bucket_of, stack_wires)
 from ..engine.evaluator import (jnp_ap_auc, parse_eval_metric,
                                 rank_metric_from_counts)
 from ..engine.negatives import FixedNegatives, NegLinkSamplerDest
@@ -684,11 +684,7 @@ class ShardedEngine:
         # time table; ops/wire.eval_lean_dedup), with a per-batch
         # fall-through to the plain compact wire
         lean_ok = self._eval_dedup_ok()
-        blocks_split = self.blocks_for(split)
-        nb_max = int(blocks_split.max()) + 1 if len(blocks_split) else 1
-        lean_bucket = 16
-        while lean_bucket < nb_max:
-            lean_bucket *= 2
+        lean_bucket = nb_bucket_of(self.blocks_for(split))
 
         def throttle(h):
             inflight.append(h)

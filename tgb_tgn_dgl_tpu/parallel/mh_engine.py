@@ -224,8 +224,8 @@ class MultiHostEngine(Engine):
         # (owner applies + gathers / replicated replay), replan = mail
         # re-plan, stack = wire compose + device placement, disp =
         # composed-step + metrics dispatch.
-        tm = {"pack": 0.0, "disp": 0.0, "stack": 0.0, "exchange": 0.0,
-              "replan": 0.0}
+        tm = {"pack": 0.0, "pack_tail": 0.0, "disp": 0.0, "stack": 0.0,
+              "exchange": 0.0, "replan": 0.0}
         t0_epoch = _time.perf_counter()
         n_sb = 0
         for lo in range(0, n_full, sb):
@@ -372,7 +372,10 @@ class MultiHostEngine(Engine):
                 wire, iw = self.packer.pack_wire(src, dst, t, idx, blk,
                                                  neg)
                 wire = self._maybe_compact(wire, iw)
-                tm["pack"] += _time.perf_counter() - t0
+                # tail batches are packed SERIALLY on every host (the
+                # leftover < n·B events have no range split), so their
+                # pack time must not be divided by n in host_s below
+                tm["pack_tail"] += _time.perf_counter() - t0
                 sk = self._host_key(self._rng_step)
                 self._rng_step += 1
                 self.dispatch_count += 1
@@ -393,14 +396,16 @@ class MultiHostEngine(Engine):
         from ..engine.train import EpochStats
         self.last_epoch_trace = {
             "total_s": _time.perf_counter() - t0_epoch,
-            "pack_s": tm["pack"], "disp_s": tm["disp"], "wait_s": 0.0,
+            "pack_s": tm["pack"] + tm["pack_tail"], "disp_s": tm["disp"],
+            "wait_s": 0.0,
             "stack_s": tm["stack"], "exchange_s": tm["exchange"],
             "replan_s": tm["replan"],
-            # host work a per-host deployment pays per epoch (the
-            # exchange/replan/compose phases run on every host; packing
-            # parallelizes per range by construction)
-            "host_s": (tm["pack"] / max(n, 1) + tm["exchange"]
-                       + tm["replan"] + tm["stack"]),
+            # host work a per-host deployment pays per epoch: super-batch
+            # packing parallelizes per range by construction (÷ n), but
+            # the serial epoch TAIL (< n·B leftover events) and the
+            # exchange/replan/compose phases run on every host in full
+            "host_s": (tm["pack"] / max(n, 1) + tm["pack_tail"]
+                       + tm["exchange"] + tm["replan"] + tm["stack"]),
             "batches": total // max(B, 1),
             "super_batches": n_sb,
         }

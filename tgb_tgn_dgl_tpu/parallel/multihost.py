@@ -155,7 +155,9 @@ class SuperBatchExchanger:
         # 2. mail-ring advance (remote) + clock replay (ALL ranges in
         #    strict stream order, own included — idempotent re-write
         #    restores serial ordering) on local copies, then write back
-        clock = np.array(self.packer.clock, np.float32)
+        clock = (self.packer.clock_snapshot()
+                 if hasattr(self.packer, "clock_snapshot")
+                 else np.array(self.packer.clock, np.float32))
         mail_ptr = np.array(self.packer.mail_ptr, np.int64)
         for h, (r_src, r_dst, _r_t, _r_idx, _r_neg) in enumerate(decoded):
             if h != self.host and len(r_src):
