@@ -334,3 +334,43 @@ def test_dedup_wire_train_lean_exact():
                     np.asarray(a),
                     np.asarray(b).astype(np.asarray(a).dtype),
                     err_msg=f"train lean S={S} batch@{lo} field {f}")
+
+
+def test_train_lean_key_width_guard():
+    """train_lean_dedup must refuse (return the wire unchanged) when
+    the device order key blk·3B + role·B + row would overflow int32 —
+    wrapped keys silently pick the wrong clock write (review r5)."""
+    from tgb_tgn_dgl_tpu.data.dependency import dependency_aware_batch
+    from tgb_tgn_dgl_tpu.ops.wire import train_lean_dedup
+
+    r = np.random.default_rng(11)
+    N, B, E = 60, 150, 150
+    cfg = PackerConfig(num_neighbors=5, batch_size=B, max_intra_block=8)
+    pk = StreamPacker(N, cfg)
+    src = r.integers(0, N, E).astype(np.int32)
+    dst = r.integers(0, N, E).astype(np.int32)
+    t = np.sort(r.uniform(0, 1e6, E)).astype(np.float32)
+    blocks = dependency_aware_batch(src, dst, B)
+    snap = pk.clock_snapshot()
+    out = pk.pack_wire_dedup(src, dst, t, np.arange(E), blocks,
+                             r.integers(0, N, E).astype(np.int32))
+    assert out is not None
+    wire, _P = out
+    # nb_bucket large enough that 3*B*nb_bucket >= 2^31 -> guard fires
+    huge = 2 ** 31 // (3 * len(wire.ev_t)) + 1
+    lean = train_lean_dedup(wire, blocks, huge, snap)
+    assert lean.cache_dt is not None and lean.clock0 is None
+    # sane bucket on the SAME wire still goes lean
+    lean2 = train_lean_dedup(wire, blocks, 64, snap)
+    assert lean2.cache_dt is None and lean2.clock0 is not None
+
+
+def test_clock_snapshot_is_fresh_copy():
+    """clock_snapshot() returns a copy decoupled from the live clock
+    (the train-lean pre-batch snapshot must not alias packer state)."""
+    cfg = PackerConfig(num_neighbors=5, batch_size=16, max_intra_block=8)
+    pk = StreamPacker(40, cfg)
+    snap = pk.clock_snapshot()
+    np.testing.assert_array_equal(snap, pk.clock)
+    pk.clock[3] = 123.0
+    assert snap[3] != 123.0
