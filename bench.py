@@ -11,7 +11,14 @@ plus measurement-health and roofline fields (VERDICT r2 items 2-4):
                       the day; this is the denominator needed to compare
                       bench numbers across runs.
   windows           — edges/s of every sustained window (the headline
-                      value is their MEDIAN, not best-of — reproducible).
+                      value is the MEDIAN of the HEALTHY ones, not
+                      best-of — reproducible).
+  windows_degraded  — windows (either arm) below 0.55x their arm's best:
+                      the tunnel's dispatch latency can collapse MID-RUN
+                      (transport throttling, not the chip); degraded
+                      windows trigger up to 3 extra interleaved pairs
+                      and are excluded from the medians, with the raw
+                      rates kept here so the filtering is visible.
   pack_s/disp_s/wait_s — host-phase seconds of the last measured epoch.
   mfu, tflops, hbm_gbps, flops_per_event — analytic roofline accounting
                       (utils/flops.py) at the measured rate vs TPU v5e
